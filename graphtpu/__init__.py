@@ -1,0 +1,28 @@
+"""graphtpu — TPU-native LDBC Graphalytics benchmark framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the
+`ldbc_graphalytics_platforms_graphblas` reference platform (see SURVEY.md):
+the six Graphalytics algorithms (BFS, PageRank, WCC, CDLP, LCC, SSSP)
+expressed as sparse linear algebra over TPU-friendly containers, plus the
+full benchmark lifecycle (ingest with dense-ID relabeling and binary
+caching, processing-time metric contract, validation against golden
+outputs, repetitions/timeouts, report generation) and — new versus the
+single-node reference — row-partitioned multi-chip execution over a
+`jax.sharding.Mesh`.
+
+Precision: float64 support is enabled at import (needed for Graphalytics
+validation-grade PageRank/SSSP/LCC outputs on CPU). All performance paths
+use explicit 32-bit dtypes so TPU execution is unaffected. Set
+GRAPHTPU_X64=0 to disable.
+"""
+
+import os as _os
+
+import jax as _jax
+
+if _os.environ.get("GRAPHTPU_X64", "1") == "1":
+    _jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from graphtpu.core.graph import Graph  # noqa: E402,F401

@@ -1,0 +1,118 @@
+"""Algorithm registry, results, and serialization.
+
+The reference implements each algorithm as a standalone C++ main()
+(src/main/c/src/algorithms/{bfs,pr,wcc,sssp,lcc,cdlp}.cpp) with a common
+skeleton: parse args -> load matrix + mapping -> emit processing-time
+markers around the kernel -> serialize per-vertex results through the
+inverse mapping. Here the skeleton is `run_algorithm`, the kernels are
+jitted JAX programs, and the serializers replicate each C++ serializer's
+exact output format (original-id per line, int64-max for unreachable BFS,
+literal "infinity" for SSSP, 16-significant-digit scientific notation for
+floats — bfs.cpp:47-64, sssp.cpp:37-47, pr.cpp:27-44).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from graphtpu.core.graph import Graph
+from graphtpu.core.types import UNREACHABLE
+from graphtpu.utils.config import AlgorithmParams, PlatformConfig
+from graphtpu.utils.timers import ComputationTimer
+
+
+@dataclasses.dataclass
+class AlgorithmResult:
+    """Per-vertex results in dense-id order plus metadata."""
+
+    algorithm: str
+    values: np.ndarray            # dense-id order, one value per vertex
+    iterations: Optional[int] = None
+
+    def serialize_lines(self, graph: Graph):
+        fmt = SERIALIZERS[self.algorithm]
+        mapping = graph.mapping
+        vals = self.values
+        return (f"{mapping[i]} {fmt(vals[i])}" for i in range(graph.n))
+
+    def write(self, graph: Graph, path: str) -> None:
+        with open(path, "w") as f:
+            for line in self.serialize_lines(graph):
+                f.write(line)
+                f.write("\n")
+
+
+def _fmt_int(v) -> str:
+    return str(int(v))
+
+
+def _fmt_sci(v) -> str:
+    # %.15e — 16 significant digits, matching the C++ serializers'
+    # std::scientific << std::setprecision(15) (pr.cpp:27-28).
+    return f"{float(v):.15e}"
+
+
+def _fmt_sssp(v) -> str:
+    # literal "infinity" for unreachable vertices (sssp.cpp:45)
+    v = float(v)
+    return "infinity" if np.isinf(v) else f"{v:.15e}"
+
+
+def _fmt_bfs(v) -> str:
+    # unreachable -> int64 max (bfs.cpp:61)
+    v = int(v)
+    return str(UNREACHABLE) if v < 0 or v >= UNREACHABLE else str(v)
+
+
+SERIALIZERS: Dict[str, Callable] = {
+    "bfs": _fmt_bfs,
+    "pr": _fmt_sci,
+    "wcc": _fmt_int,
+    "cdlp": _fmt_int,
+    "lcc": _fmt_sci,
+    "sssp": _fmt_sssp,
+}
+
+# Populated by each algorithm module at import: name -> fn(graph, params, cfg)
+ALGORITHMS: Dict[str, Callable[[Graph, AlgorithmParams, PlatformConfig], AlgorithmResult]] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        ALGORITHMS[name] = fn
+        return fn
+
+    return deco
+
+
+def run_algorithm(
+    name: str,
+    graph: Graph,
+    params: Optional[AlgorithmParams] = None,
+    cfg: Optional[PlatformConfig] = None,
+) -> AlgorithmResult:
+    """Run one algorithm kernel (no timing markers — the harness owns the
+    processing-time window, matching how the reference binaries emit the
+    markers immediately around the kernel call, bfs.cpp:105-107)."""
+    # import side effect: registers all algorithms
+    import graphtpu.algorithms.bfs  # noqa: F401
+    import graphtpu.algorithms.pr  # noqa: F401
+    import graphtpu.algorithms.wcc  # noqa: F401
+    import graphtpu.algorithms.sssp  # noqa: F401
+    import graphtpu.algorithms.cdlp  # noqa: F401
+    import graphtpu.algorithms.lcc  # noqa: F401
+
+    name = name.lower()
+    if name not in ALGORITHMS:
+        raise ValueError(f"unknown algorithm {name!r}; have {sorted(ALGORITHMS)}")
+    params = params or AlgorithmParams()
+    cfg = cfg or PlatformConfig()
+    with ComputationTimer(f"Processing ({name})"):
+        return ALGORITHMS[name](graph, params, cfg)
+
+
+def float_dtype(cfg: PlatformConfig):
+    return np.float64 if cfg.precision == "float64" else np.float32

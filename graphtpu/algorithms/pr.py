@@ -1,0 +1,68 @@
+"""PageRank — the Graphalytics variant with dangling-vertex redistribution.
+
+Semantics match LAGr_PageRankGX as called by the reference (pr.cpp:58-63):
+fixed iteration count, damping factor d, importance from in-neighbors
+scaled by out-degree, and the rank mass of sink (out-degree-0) vertices
+redistributed uniformly each iteration:
+
+    r_{t+1}(v) = (1-d)/n + d * ( sum_{u->v} r_t(u)/outdeg(u)
+                                 + sum_{outdeg(u)=0} r_t(u)/n )
+
+TPU design: one plus.second SpMV per iteration over pull-ordered edges
+(segment-sum by destination), a psum-style scalar reduction for the
+dangling mass, all inside `jax.lax.fori_loop` (exact iteration count —
+no convergence check, per the Graphalytics spec).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphtpu.core.graph import Graph
+from graphtpu.algorithms.common import AlgorithmResult, float_dtype, register
+from graphtpu.utils.config import AlgorithmParams, PlatformConfig
+
+
+@partial(jax.jit, static_argnames=("n", "num_iterations"))
+def _pr_kernel(edges_src, edges_dst, out_deg, damping, n, num_iterations):
+    dtype = damping.dtype
+    inv_n = jnp.asarray(1.0 / n, dtype)
+    teleport = (1.0 - damping) * inv_n
+    is_dangling = out_deg == 0
+    # 1/outdeg with danglings mapped to 0 contribution via where
+    safe_deg = jnp.where(is_dangling, 1, out_deg).astype(dtype)
+    inv_deg = jnp.where(is_dangling, 0.0, 1.0 / safe_deg)
+
+    r0 = jnp.full((n,), inv_n, dtype=dtype)
+
+    def body(_, r):
+        contrib = r * inv_deg
+        pulled = jax.ops.segment_sum(
+            contrib[edges_src], edges_dst, num_segments=n, indices_are_sorted=True
+        )
+        dangling_mass = jnp.sum(jnp.where(is_dangling, r, 0.0))
+        return teleport + damping * (pulled + dangling_mass * inv_n)
+
+    return jax.lax.fori_loop(0, num_iterations, body, r0)
+
+
+@register("pr")
+def pr(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> AlgorithmResult:
+    if params.damping_factor is None or params.num_iterations is None:
+        raise ValueError("pr requires damping-factor and num-iterations")
+    dtype = float_dtype(cfg)
+    coo = graph.device_pull(wdtype=dtype)
+    out_deg = jnp.asarray(graph.out_degree.astype(np.int32))
+    ranks = _pr_kernel(
+        coo.src,
+        coo.dst,
+        out_deg,
+        jnp.asarray(params.damping_factor, dtype),
+        graph.n,
+        int(params.num_iterations),
+    )
+    return AlgorithmResult("pr", np.asarray(ranks), iterations=params.num_iterations)

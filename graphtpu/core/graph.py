@@ -1,0 +1,234 @@
+"""Sparse graph container, TPU-first.
+
+Replaces the reference's GrB_Matrix + mapping pair (built by
+bin/py/relabel.py + src/main/c/src/tools/converter.cpp and read back by
+src/main/c/src/graphio.cpp) with a host-side numpy container exposing
+device-resident COO edge streams in the two orientations the algorithms
+need:
+
+* ``pull`` orientation — edges sorted by (dst, src): every per-vertex
+  reduction over *incoming* edges becomes a sorted segment reduce.
+* ``push`` orientation — edges sorted by (src, dst): reductions over
+  *outgoing* edges (CSR order; also the order used for padded slabs).
+
+Vertex ids are dense int32 on device; the sparse original uint64 ids
+live only in the host-side ``mapping`` array, mirroring the reference's
+graph.vtx/.vtb design (bin/py/relabel.py:52-61, graphio.cpp:34-60).
+Undirected inputs are symmetrized at build time (each file edge stored in
+both directions), matching the semantics of the reference's MatrixMarket
+``symmetric`` banner + LAGraph expansion; directed graphs can produce a
+cached symmetrized view, the analogue of wcc.cpp:53-55's
+``eWiseAdd(LOR, A, A')``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graphtpu.core.types import INDEX_DTYPE, ORIGINAL_ID_DTYPE
+
+
+class COO(NamedTuple):
+    """A device-resident edge stream. ``w`` is all-ones for unweighted graphs."""
+
+    src: jax.Array  # int32 [nnz]
+    dst: jax.Array  # int32 [nnz]
+    w: jax.Array    # float  [nnz]
+
+
+def _lexsort_edges(src: np.ndarray, dst: np.ndarray, primary: str):
+    """Sort edges by (primary, secondary); returns the permutation."""
+    if primary == "dst":
+        return np.lexsort((src, dst))
+    return np.lexsort((dst, src))
+
+
+class Graph:
+    """Host-side graph: dense-id COO + original-id mapping + cached views."""
+
+    def __init__(
+        self,
+        n: int,
+        src: np.ndarray,
+        dst: np.ndarray,
+        w: Optional[np.ndarray],
+        mapping: np.ndarray,
+        directed: bool,
+        weighted: bool,
+        *,
+        _presorted: bool = False,
+        _dedup: bool = True,
+    ):
+        self.n = int(n)
+        self.directed = bool(directed)
+        self.weighted = bool(weighted)
+        self.mapping = np.asarray(mapping, dtype=ORIGINAL_ID_DTYPE)
+
+        src = np.asarray(src, dtype=INDEX_DTYPE)
+        dst = np.asarray(dst, dtype=INDEX_DTYPE)
+        if w is None:
+            w = np.ones(src.shape[0], dtype=np.float64)
+        else:
+            w = np.asarray(w, dtype=np.float64)
+
+        if not _presorted:
+            perm = _lexsort_edges(src, dst, "src")
+            src, dst, w = src[perm], dst[perm], w[perm]
+        if _dedup and src.size:
+            keep = np.empty(src.shape[0], dtype=bool)
+            keep[0] = True
+            np.logical_or(src[1:] != src[:-1], dst[1:] != dst[:-1], out=keep[1:])
+            if not keep.all():
+                src, dst, w = src[keep], dst[keep], w[keep]
+
+        # push orientation (sorted by (src, dst)) is the canonical storage.
+        self.src = src
+        self.dst = dst
+        self.w = w
+        self.nnz = int(src.shape[0])
+
+        self._pull_perm: Optional[np.ndarray] = None
+        self._device_push: Optional[COO] = None
+        self._device_pull: Optional[COO] = None
+        self._symmetrized: Optional["Graph"] = None
+        self._out_deg: Optional[np.ndarray] = None
+        self._in_deg: Optional[np.ndarray] = None
+        self._indptr: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------------ build
+
+    @classmethod
+    def from_original_ids(
+        cls,
+        vertex_ids: np.ndarray,
+        edge_src: np.ndarray,
+        edge_dst: np.ndarray,
+        edge_w: Optional[np.ndarray],
+        directed: bool,
+        weighted: bool,
+    ) -> "Graph":
+        """Relabel sparse original ids to dense [0, n) ids.
+
+        Dense id = position in the vertex file, replicating
+        bin/py/relabel.py:37-45 (which joins edges against vertex rowids);
+        the mapping array is the inverse bijection (relabel.py:52-61).
+        """
+        vertex_ids = np.asarray(vertex_ids, dtype=ORIGINAL_ID_DTYPE)
+        n = vertex_ids.shape[0]
+        order = np.argsort(vertex_ids, kind="stable")
+        sorted_ids = vertex_ids[order]
+        if np.any(sorted_ids[1:] == sorted_ids[:-1]):
+            raise ValueError("duplicate vertex ids in vertex file")
+
+        def to_dense(ids):
+            ids = np.asarray(ids, dtype=ORIGINAL_ID_DTYPE)
+            pos = np.searchsorted(sorted_ids, ids)
+            pos = np.clip(pos, 0, n - 1)
+            if n == 0 or not np.array_equal(sorted_ids[pos], ids):
+                raise ValueError("edge references unknown vertex id")
+            return order[pos].astype(INDEX_DTYPE)
+
+        s = to_dense(edge_src)
+        d = to_dense(edge_dst)
+        w = None
+        if edge_w is not None:
+            w = np.asarray(edge_w, dtype=np.float64)
+
+        if not directed:
+            # store both directions; self-loops only once
+            non_loop = s != d
+            s2 = np.concatenate([s, d[non_loop]])
+            d2 = np.concatenate([d, s[non_loop]])
+            if w is not None:
+                w = np.concatenate([w, w[non_loop]])
+            s, d = s2, d2
+
+        return cls(n, s, d, w, vertex_ids, directed, weighted)
+
+    # ------------------------------------------------------------- host views
+
+    @property
+    def out_degree(self) -> np.ndarray:
+        if self._out_deg is None:
+            self._out_deg = np.bincount(self.src, minlength=self.n).astype(np.int64)
+        return self._out_deg
+
+    @property
+    def in_degree(self) -> np.ndarray:
+        if self._in_deg is None:
+            self._in_deg = np.bincount(self.dst, minlength=self.n).astype(np.int64)
+        return self._in_deg
+
+    @property
+    def indptr(self) -> np.ndarray:
+        """CSR row pointers over the push-ordered edges."""
+        if self._indptr is None:
+            self._indptr = np.zeros(self.n + 1, dtype=np.int64)
+            np.cumsum(self.out_degree, out=self._indptr[1:])
+        return self._indptr
+
+    def pull_perm(self) -> np.ndarray:
+        if self._pull_perm is None:
+            self._pull_perm = _lexsort_edges(self.src, self.dst, "dst")
+        return self._pull_perm
+
+    def symmetrized(self) -> "Graph":
+        """Structure of A | A^T with unit weights (wcc.cpp:53-55 analogue).
+
+        For undirected graphs this is the graph itself.
+        """
+        if not self.directed:
+            return self
+        if self._symmetrized is None:
+            s = np.concatenate([self.src, self.dst])
+            d = np.concatenate([self.dst, self.src])
+            g = Graph(
+                self.n, s, d, None, self.mapping,
+                directed=False, weighted=False,
+            )
+            self._symmetrized = g
+        return self._symmetrized
+
+    # ----------------------------------------------------------- device views
+
+    def _weights(self, dtype) -> np.ndarray:
+        return self.w.astype(dtype)
+
+    def device_push(self, wdtype=np.float32) -> COO:
+        """Edges sorted by (src, dst) as device arrays."""
+        if self._device_push is None or self._device_push.w.dtype != jnp.dtype(wdtype):
+            self._device_push = COO(
+                jnp.asarray(self.src),
+                jnp.asarray(self.dst),
+                jnp.asarray(self._weights(wdtype)),
+            )
+        return self._device_push
+
+    def device_pull(self, wdtype=np.float32) -> COO:
+        """Edges sorted by (dst, src) as device arrays."""
+        if self._device_pull is None or self._device_pull.w.dtype != jnp.dtype(wdtype):
+            p = self.pull_perm()
+            self._device_pull = COO(
+                jnp.asarray(self.src[p]),
+                jnp.asarray(self.dst[p]),
+                jnp.asarray(self._weights(wdtype)[p]),
+            )
+        return self._device_pull
+
+    # ------------------------------------------------------------------ misc
+
+    def dense_source(self, original_source: int) -> int:
+        """Map an original source-vertex id to its dense id, the analogue of
+        the linear search in bfs.cpp:94-103."""
+        hits = np.nonzero(self.mapping == original_source)[0]
+        if hits.size != 1:
+            raise ValueError(f"source vertex {original_source} not in graph")
+        return int(hits[0])
+
+    def __repr__(self) -> str:
+        kind = "directed" if self.directed else "undirected"
+        return f"Graph(n={self.n}, nnz={self.nnz}, {kind}, weighted={self.weighted})"

@@ -1,0 +1,197 @@
+"""Typed configuration + Java-properties-compatible parsing.
+
+The reference's config is a three-tier .properties tree (SURVEY.md §5.6):
+benchmark selection (config-template/benchmark.properties, cdlp.properties),
+per-graph dataset descriptors (example-data-sets/graphs/*.properties), and a
+platform key (platform.graphblas.num-threads). This module parses the same
+file format and materializes it into typed dataclasses; kernel-variant
+selection (the reference's compile-time #define block, cdlp_kernel.cu:5-41)
+becomes runtime fields on PlatformConfig.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+from pathlib import Path
+from typing import Dict, List, Optional
+
+
+def parse_properties(path: str | os.PathLike) -> Dict[str, str]:
+    """Parse a Java .properties file (key = value, # comments)."""
+    props: Dict[str, str] = {}
+    for raw in Path(path).read_text().splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#") or line.startswith("!"):
+            continue
+        m = re.match(r"([^=:]+)[=:](.*)", line)
+        if not m:
+            continue
+        props[m.group(1).strip()] = m.group(2).strip()
+    return props
+
+
+@dataclasses.dataclass
+class AlgorithmParams:
+    """Per-algorithm parameters, keys matching the dataset descriptors
+    (e.g. graph.<name>.bfs.source-vertex — example-directed.properties)."""
+
+    source_vertex: Optional[int] = None        # bfs., sssp.
+    max_iterations: Optional[int] = None       # cdlp.
+    damping_factor: Optional[float] = None     # pr.
+    num_iterations: Optional[int] = None       # pr.
+    weight_property: Optional[str] = None      # sssp.
+
+
+@dataclasses.dataclass
+class GraphSpec:
+    """One dataset descriptor (graph.<name>.* keys)."""
+
+    name: str
+    vertex_path: str
+    edge_path: str
+    directed: bool
+    weighted: bool
+    num_vertices: Optional[int] = None
+    num_edges: Optional[int] = None
+    algorithms: List[str] = dataclasses.field(default_factory=list)
+    params: Dict[str, AlgorithmParams] = dataclasses.field(default_factory=dict)
+
+    @classmethod
+    def from_properties(cls, path: str | os.PathLike) -> "GraphSpec":
+        path = Path(path)
+        props = parse_properties(path)
+        names = {k.split(".")[1] for k in props if k.startswith("graph.")}
+        if len(names) != 1:
+            raise ValueError(f"{path}: expected exactly one graph, found {names}")
+        name = names.pop()
+        p = f"graph.{name}."
+
+        def get(key, default=None):
+            return props.get(p + key, default)
+
+        edge_prop_names = [
+            s.strip() for s in get("edge-properties.names", "").split(",") if s.strip()
+        ]
+        weighted = "weight" in edge_prop_names
+        algos = [a.strip().lower() for a in get("algorithms", "").split(",") if a.strip()]
+
+        params: Dict[str, AlgorithmParams] = {}
+        for algo in algos:
+            ap = AlgorithmParams()
+            if get(f"{algo}.source-vertex") is not None:
+                ap.source_vertex = int(get(f"{algo}.source-vertex"))
+            if get(f"{algo}.max-iterations") is not None:
+                ap.max_iterations = int(get(f"{algo}.max-iterations"))
+            if get(f"{algo}.damping-factor") is not None:
+                ap.damping_factor = float(get(f"{algo}.damping-factor"))
+            if get(f"{algo}.num-iterations") is not None:
+                ap.num_iterations = int(get(f"{algo}.num-iterations"))
+            if get(f"{algo}.weight-property") is not None:
+                ap.weight_property = get(f"{algo}.weight-property")
+            params[algo] = ap
+
+        base = path.parent
+        vertex_file = get("vertex-file", f"{name}.v")
+        edge_file = get("edge-file", f"{name}.e")
+        if edge_file == vertex_file:
+            # tolerate descriptor typos (the reference's
+            # test-sssp-undirected.properties points edge-file at the .v file)
+            edge_file = f"{name}.e"
+        return cls(
+            name=name,
+            vertex_path=str(base / vertex_file),
+            edge_path=str(base / edge_file),
+            directed=get("directed", "false").lower() == "true",
+            weighted=weighted,
+            num_vertices=int(get("meta.vertices")) if get("meta.vertices") else None,
+            num_edges=int(get("meta.edges")) if get("meta.edges") else None,
+            algorithms=algos,
+            params=params,
+        )
+
+
+@dataclasses.dataclass
+class PlatformConfig:
+    """Platform tier — the analogue of platform.properties plus the GPU
+    kernel-variant #define block (cdlp_kernel.cu:5-41) as runtime config."""
+
+    intermediate_dir: str = "./intermediate"
+    # compute precision for float-valued algorithms ("float32"|"float64")
+    precision: str = "float32"
+    # kernel variant selection: "xla" (segment ops) or "pallas" where available
+    spmv_impl: str = "xla"
+    cdlp_impl: str = "auto"   # auto|slab|sort
+    # slab (padded-ELL) degree bucket boundaries for CDLP/LCC kernels
+    slab_buckets: tuple = (16, 64, 256, 1024)
+    # device mesh axis size for row-partitioned multi-chip execution (0 = all)
+    num_devices: int = 0
+    # skip convergence checks for the first k iterations
+    # (reference trick: optimized_skip_checkequal, cdlp_kernel.cu:1254-1271)
+    skip_convergence_checks: int = 0
+
+    @classmethod
+    def from_properties(cls, path: str | os.PathLike) -> "PlatformConfig":
+        props = parse_properties(path)
+        cfg = cls()
+        m = {
+            "platform.graphtpu.intermediate-dir": ("intermediate_dir", str),
+            "platform.graphtpu.precision": ("precision", str),
+            "platform.graphtpu.spmv-impl": ("spmv_impl", str),
+            "platform.graphtpu.cdlp-impl": ("cdlp_impl", str),
+            "platform.graphtpu.num-devices": ("num_devices", int),
+        }
+        for key, (attr, cast) in m.items():
+            if key in props:
+                setattr(cfg, attr, cast(props[key]))
+        return cfg
+
+
+@dataclasses.dataclass
+class BenchmarkConfig:
+    """Benchmark tier — mirrors benchmark.custom.* keys
+    (config-template/cdlp.properties:8-23)."""
+
+    graphs: List[str] = dataclasses.field(default_factory=list)
+    algorithms: List[str] = dataclasses.field(default_factory=list)
+    timeout_seconds: int = 3600
+    output_required: bool = True
+    validation_required: bool = True
+    repetitions: int = 1
+    graphs_root: str = "."
+    output_dir: str = "./output"
+    validation_dir: Optional[str] = None
+    report_dir: str = "./report"
+
+    @classmethod
+    def from_properties(cls, path: str | os.PathLike) -> "BenchmarkConfig":
+        props = parse_properties(path)
+        cfg = cls()
+
+        def split(v):
+            return [s.strip() for s in v.split(",") if s.strip()]
+
+        if "benchmark.custom.graphs" in props:
+            cfg.graphs = split(props["benchmark.custom.graphs"])
+        if "benchmark.custom.algorithms" in props:
+            cfg.algorithms = [a.lower() for a in split(props["benchmark.custom.algorithms"])]
+        if "benchmark.custom.timeout" in props:
+            cfg.timeout_seconds = int(props["benchmark.custom.timeout"])
+        if "benchmark.custom.output-required" in props:
+            cfg.output_required = props["benchmark.custom.output-required"].lower() == "true"
+        if "benchmark.custom.validation-required" in props:
+            cfg.validation_required = (
+                props["benchmark.custom.validation-required"].lower() == "true"
+            )
+        if "benchmark.custom.repetitions" in props:
+            cfg.repetitions = int(props["benchmark.custom.repetitions"])
+        if "graphs.root-directory" in props:
+            cfg.graphs_root = props["graphs.root-directory"]
+        if "graphs.validation-directory" in props:
+            cfg.validation_dir = props["graphs.validation-directory"]
+        if "benchmark.output-directory" in props:
+            cfg.output_dir = props["benchmark.output-directory"]
+        if "benchmark.report-directory" in props:
+            cfg.report_dir = props["benchmark.report-directory"]
+        return cfg
