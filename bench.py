@@ -1,0 +1,149 @@
+"""Benchmark entry point — prints ONE JSON line for the driver.
+
+Headline metric: CDLP throughput in processed incidence edges per second
+on a datagen-7_5-fb-scale power-law graph (the reference fork's own
+headline workload). Baseline: the reference's CPU LAGraph_cdlp at
+~1,500 ms per iteration on datagen-7_5-fb (ECE508_Final_Report.pdf §4.1;
+BASELINE.md), i.e. 2 × 34,185,747 stored edges / 1.5 s ≈ 45.6M edges/s.
+
+Secondary metrics (reported in "details"): PageRank SpMV nnz/s per chip
+and BFS GTEPS — the north-star metrics named in BASELINE.json.
+
+Environment knobs: GRAPHTPU_BENCH_SCALE (default 20),
+GRAPHTPU_BENCH_EDGE_FACTOR (default 32), GRAPHTPU_BENCH_ITERS (default 10).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+import graphtpu  # noqa: F401  (enables x64 config; compute stays f32/int32)
+
+# Reference CPU baseline (BASELINE.md): datagen-7_5-fb, 34,185,747 undirected
+# edges (2x stored, LAGraph holds both directions), ~1.5 s per CDLP iteration.
+BASELINE_CDLP_EDGES_PER_S = 2 * 34_185_747 / 1.5
+
+
+def _sync(x):
+    """Force real device synchronization.
+
+    Under this environment's axon TPU relay, `block_until_ready()` returns
+    before the computation drains; a device-to-host copy of a reduced
+    scalar is the reliable fence.
+    """
+    import jax.numpy as jnp
+
+    if hasattr(x, "block_until_ready"):
+        return float(jnp.max(x))
+    return x
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from graphtpu.algorithms.cdlp import build_incidence
+    from graphtpu.utils.synth import rmat_graph
+
+    scale = int(os.environ.get("GRAPHTPU_BENCH_SCALE", "20"))
+    edge_factor = int(os.environ.get("GRAPHTPU_BENCH_EDGE_FACTOR", "32"))
+    itermax = int(os.environ.get("GRAPHTPU_BENCH_ITERS", "10"))
+
+    t0 = time.perf_counter()
+    g = rmat_graph(scale, edge_factor, directed=False, seed=42)
+    gen_s = time.perf_counter() - t0
+
+    # ---------------- CDLP (headline, slab kernel) ----------------
+    from graphtpu.ops.minmode import _cdlp_slab_kernel, build_slab_plan
+
+    centers, neigh = build_incidence(g)
+    deg = np.bincount(centers, minlength=g.n).astype(np.int32)
+    inc_nnz = centers.shape[0]
+
+    plan = build_slab_plan(centers, neigh, deg.astype(np.int64), g.n)
+    labels0 = jnp.arange(g.n, dtype=jnp.int32)
+
+    labels, it = _cdlp_slab_kernel(plan, labels0, itermax)  # warmup/compile
+    _sync(labels)
+    t0 = time.perf_counter()
+    labels, it = _cdlp_slab_kernel(plan, labels0, itermax)
+    _sync(labels)
+    cdlp_s = time.perf_counter() - t0
+    iters_done = max(int(it), 1)
+    cdlp_edges_per_s = inc_nnz * iters_done / cdlp_s
+    cdlp_ms_per_iter = cdlp_s * 1000.0 / iters_done
+
+    # ---------------- PageRank SpMV nnz/s ----------------
+    coo = g.device_pull(wdtype=np.float32)
+    out_deg = jnp.asarray(g.out_degree.astype(np.int32))
+    n = g.n
+    pr_iters = 20
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n", "iters"))
+    def pr_loop(src, dst, out_deg, n, iters):
+        is_dangling = out_deg == 0
+        inv_deg = jnp.where(
+            is_dangling, 0.0, 1.0 / jnp.where(is_dangling, 1, out_deg).astype(jnp.float32)
+        )
+        r0 = jnp.full((n,), 1.0 / n, dtype=jnp.float32)
+
+        def body(_, r):
+            pulled = jax.ops.segment_sum(
+                (r * inv_deg)[src], dst, num_segments=n, indices_are_sorted=True
+            )
+            dangling = jnp.sum(jnp.where(is_dangling, r, 0.0))
+            return 0.15 / n + 0.85 * (pulled + dangling / n)
+
+        return jax.lax.fori_loop(0, iters, body, r0)
+
+    _sync(pr_loop(coo.src, coo.dst, out_deg, n, pr_iters))
+    t0 = time.perf_counter()
+    _sync(pr_loop(coo.src, coo.dst, out_deg, n, pr_iters))
+    pr_s = time.perf_counter() - t0
+    pr_nnz_per_s = g.nnz * pr_iters / pr_s
+
+    # ---------------- BFS GTEPS ----------------
+    from graphtpu.algorithms.bfs import _bfs_kernel
+
+    levels, nit = _bfs_kernel(coo.src, coo.dst, jnp.int32(0), n)
+    _sync(levels)
+    t0 = time.perf_counter()
+    levels, nit = _bfs_kernel(coo.src, coo.dst, jnp.int32(0), n)
+    _sync(levels)
+    bfs_s = time.perf_counter() - t0
+    bfs_gteps = g.nnz / bfs_s / 1e9
+
+    backend = jax.devices()[0].platform
+    print(
+        json.dumps(
+            {
+                "metric": "cdlp_edges_per_s",
+                "value": round(cdlp_edges_per_s, 1),
+                "unit": "edges/s",
+                "vs_baseline": round(cdlp_edges_per_s / BASELINE_CDLP_EDGES_PER_S, 3),
+                "details": {
+                    "backend": backend,
+                    "graph": f"rmat scale={scale} ef={edge_factor} undirected",
+                    "n": g.n,
+                    "nnz_stored": g.nnz,
+                    "cdlp_ms_per_iter": round(cdlp_ms_per_iter, 2),
+                    "cdlp_iters": iters_done,
+                    "baseline_cdlp_ms_per_iter_cpu": 1500.0,
+                    "pr_nnz_per_s": round(pr_nnz_per_s, 1),
+                    "bfs_gteps": round(bfs_gteps, 4),
+                    "bfs_iters": int(nit),
+                    "gen_s": round(gen_s, 2),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

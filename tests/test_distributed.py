@@ -1,0 +1,105 @@
+"""Multi-chip parity tests on a virtual 8-device CPU mesh.
+
+Each distributed loop must produce outputs that pass the same golden-file
+validation as its single-chip sibling (conftest forces
+--xla_force_host_platform_device_count=8, SURVEY.md §4 implication).
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax
+
+from graphtpu.algorithms.common import AlgorithmResult
+from graphtpu.harness.validator import validate_result
+from graphtpu.ingest.loader import load_graph_from_spec
+from graphtpu.parallel import ShardedGraph, make_mesh
+from graphtpu.parallel import algorithms as dist
+from graphtpu.core.types import INT32_INF, UNREACHABLE
+from graphtpu.utils.config import GraphSpec
+from graphtpu.utils.synth import uniform_graph
+
+FIXTURES = Path("/root/reference/example-data-sets/graphs")
+
+ALGO_SUFFIX = {"bfs": "BFS", "pr": "PR", "wcc": "WCC", "cdlp": "CDLP", "sssp": "SSSP"}
+
+
+def _spec(name):
+    return GraphSpec.from_properties(FIXTURES / f"{name}.properties")
+
+
+@pytest.fixture(scope="module", params=["example-directed", "example-undirected"])
+def sharded(request):
+    spec = _spec(request.param)
+    g = load_graph_from_spec(spec, use_cache=False)
+    mesh = make_mesh(len(jax.devices()))
+    return spec, g, ShardedGraph(g, mesh, wdtype=np.float64)
+
+
+def _validate(spec, g, algo, values, **kw):
+    golden = FIXTURES / f"{spec.name}-{ALGO_SUFFIX[algo]}"
+    result = AlgorithmResult(algo, values, **kw)
+    ok, msg = validate_result(result, g, str(golden))
+    assert ok, f"{spec.name}/{algo} (distributed): {msg}"
+
+
+def test_pr_dist(sharded):
+    spec, g, sg = sharded
+    p = spec.params["pr"]
+    ranks = dist.pr_dist(sg, p.damping_factor, p.num_iterations, dtype=np.float64)
+    _validate(spec, g, "pr", ranks)
+
+
+def test_bfs_dist(sharded):
+    spec, g, sg = sharded
+    src = g.dense_source(spec.params["bfs"].source_vertex)
+    levels, _ = dist.bfs_dist(sg, src)
+    levels = levels.astype(np.int64)
+    levels[levels == INT32_INF] = UNREACHABLE
+    _validate(spec, g, "bfs", levels)
+
+
+def test_sssp_dist(sharded):
+    spec, g, sg = sharded
+    src = g.dense_source(spec.params["sssp"].source_vertex)
+    d, _ = dist.sssp_dist(sg, src)
+    _validate(spec, g, "sssp", d)
+
+
+def test_wcc_dist(sharded):
+    spec, g, sg = sharded
+    labels, _ = dist.wcc_dist(sg)
+    _validate(spec, g, "wcc", g.mapping[labels])
+
+
+def test_cdlp_dist(sharded):
+    spec, g, sg = sharded
+    labels, _ = dist.cdlp_dist(sg, spec.params["cdlp"].max_iterations)
+    _validate(spec, g, "cdlp", g.mapping[labels])
+
+
+def test_dist_matches_single_chip_on_random_graph():
+    """Cross-check distributed vs single-chip kernels on a synthetic graph
+    big enough that every device block is non-trivially populated."""
+    from graphtpu.algorithms.common import run_algorithm
+    from graphtpu.utils.config import AlgorithmParams, PlatformConfig
+
+    g = uniform_graph(5000, 40000, directed=True, weighted=True, seed=3)
+    mesh = make_mesh(len(jax.devices()))
+    sg = ShardedGraph(g, mesh, wdtype=np.float64)
+    cfg = PlatformConfig(precision="float64")
+
+    ranks = dist.pr_dist(sg, 0.85, 10, dtype=np.float64)
+    single = run_algorithm(
+        "pr", g, AlgorithmParams(damping_factor=0.85, num_iterations=10), cfg
+    )
+    np.testing.assert_allclose(ranks, single.values, rtol=1e-12)
+
+    labels, _ = dist.cdlp_dist(sg, 5)
+    single = run_algorithm("cdlp", g, AlgorithmParams(max_iterations=5))
+    np.testing.assert_array_equal(g.mapping[labels], single.values)
+
+    dd, _ = dist.sssp_dist(sg, 0)
+    single = run_algorithm("sssp", g, AlgorithmParams(source_vertex=0), cfg)
+    np.testing.assert_allclose(dd, single.values, rtol=1e-12)
