@@ -111,6 +111,12 @@ def run_algorithm(
     params = params or AlgorithmParams()
     cfg = cfg or PlatformConfig()
     with ComputationTimer(f"Processing ({name})"):
+        if cfg.num_devices > 1:
+            from graphtpu.parallel.dispatch import try_run_distributed
+
+            result = try_run_distributed(name, graph, params, cfg)
+            if result is not None:
+                return result
         return ALGORITHMS[name](graph, params, cfg)
 
 

@@ -1,0 +1,153 @@
+"""Ingest tests: parsers (native C++ vs pandas/numpy parity), relabeling
+semantics, and the binary cache's skip-if-exists contract."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from graphtpu.core.graph import Graph
+from graphtpu.ingest import cache as cache_mod
+from graphtpu.ingest import native
+from graphtpu.ingest.loader import load_graph
+from graphtpu.ingest.relabel import (
+    _parse_edges_numpy,
+    _parse_edges_pandas,
+    _parse_vertices_numpy,
+    _parse_vertices_pandas,
+    relabel,
+)
+
+FIXTURES = Path("/root/reference/example-data-sets/graphs")
+
+
+@pytest.fixture(scope="module")
+def big_files(tmp_path_factory):
+    """A synthetic ~200k-line vertex/edge pair with awkward formatting."""
+    d = tmp_path_factory.mktemp("bigio")
+    rng = np.random.default_rng(0)
+    ids = np.sort(rng.choice(10_000_000, size=50_000, replace=False)).astype(np.int64)
+    vpath = d / "big.v"
+    with open(vpath, "w") as f:
+        for i, v in enumerate(ids):
+            f.write(f"{v}\n" if i % 7 else f"  {v}  \n")  # stray whitespace
+        f.write("\n")  # trailing blank line
+    src = rng.choice(ids, 200_000)
+    dst = rng.choice(ids, 200_000)
+    w = rng.random(200_000) * 10
+    epath = d / "big.e"
+    with open(epath, "w") as f:
+        for i in range(len(src)):
+            sep = "\t" if i % 5 == 0 else " "
+            f.write(f"{src[i]}{sep}{dst[i]}{sep}{w[i]:.6g}\n")
+    return vpath, epath
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built (make -C native)")
+def test_native_vertex_parity(big_files):
+    vpath, _ = big_files
+    np.testing.assert_array_equal(
+        native.parse_vertices(str(vpath)), _parse_vertices_numpy(str(vpath))
+    )
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built (make -C native)")
+def test_native_edge_parity(big_files):
+    _, epath = big_files
+    s1, d1, w1 = native.parse_edges(str(epath), True)
+    s2, d2, w2 = _parse_edges_pandas(str(epath), True)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_allclose(w1, w2)
+    # unweighted read of the same file ignores the third column
+    s3, d3, w3 = native.parse_edges(str(epath), False)
+    np.testing.assert_array_equal(s3, s2)
+    assert w3 is None
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built (make -C native)")
+def test_native_fixture_parity():
+    for name, weighted in [("example-directed", True), ("example-undirected", True)]:
+        v1 = native.parse_vertices(str(FIXTURES / f"{name}.v"))
+        v2 = _parse_vertices_pandas(str(FIXTURES / f"{name}.v"))
+        np.testing.assert_array_equal(v1, v2)
+        s1, d1, w1 = native.parse_edges(str(FIXTURES / f"{name}.e"), weighted)
+        s2, d2, w2 = _parse_edges_pandas(str(FIXTURES / f"{name}.e"), weighted)
+        np.testing.assert_array_equal(s1, s2)
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_allclose(w1, w2)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built (make -C native)")
+def test_native_error_paths(tmp_path):
+    assert native._load().gtio_count_lines(b"/nonexistent/file") == -1
+    bad = tmp_path / "bad.v"
+    bad.write_text("12\nnot-a-number\n")
+    with pytest.raises(ValueError):
+        native.parse_vertices(str(bad))
+
+
+def test_relabel_dense_ids():
+    """Dense id = position in vertex file (relabel.py:37-45)."""
+    g = relabel(
+        str(FIXTURES / "example-directed.v"),
+        str(FIXTURES / "example-directed.e"),
+        directed=True,
+        weighted=True,
+    )
+    assert g.n == 10
+    np.testing.assert_array_equal(g.mapping, np.arange(1, 11))
+    assert g.nnz == 17
+
+
+def test_relabel_sparse_original_ids(tmp_path):
+    (tmp_path / "s.v").write_text("100\n5\n99999999999\n")
+    (tmp_path / "s.e").write_text("100 5\n5 99999999999\n")
+    g = relabel(str(tmp_path / "s.v"), str(tmp_path / "s.e"), True, False)
+    assert g.n == 3
+    np.testing.assert_array_equal(g.mapping, [100, 5, 99999999999])
+    # dense ids follow file order: 100->0, 5->1, big->2
+    np.testing.assert_array_equal(g.src, [0, 1])
+    np.testing.assert_array_equal(g.dst, [1, 2])
+
+
+def test_relabel_unknown_vertex(tmp_path):
+    (tmp_path / "u.v").write_text("1\n2\n")
+    (tmp_path / "u.e").write_text("1 3\n")
+    with pytest.raises(ValueError, match="unknown vertex"):
+        relabel(str(tmp_path / "u.v"), str(tmp_path / "u.e"), True, False)
+
+
+def test_relabel_duplicate_vertex(tmp_path):
+    (tmp_path / "d.v").write_text("1\n1\n")
+    (tmp_path / "d.e").write_text("1 1\n")
+    with pytest.raises(ValueError, match="duplicate"):
+        relabel(str(tmp_path / "d.v"), str(tmp_path / "d.e"), True, False)
+
+
+def test_cache_roundtrip_and_skip(tmp_path):
+    g = load_graph(
+        str(FIXTURES / "example-directed.v"),
+        str(FIXTURES / "example-directed.e"),
+        directed=True,
+        weighted=True,
+        graph_name="exd",
+        intermediate_dir=str(tmp_path),
+    )
+    p = cache_mod.cache_path(tmp_path, "exd")
+    assert p.exists()
+    mtime = p.stat().st_mtime_ns
+    g2 = load_graph(
+        str(FIXTURES / "example-directed.v"),
+        str(FIXTURES / "example-directed.e"),
+        directed=True,
+        weighted=True,
+        graph_name="exd",
+        intermediate_dir=str(tmp_path),
+    )
+    assert p.stat().st_mtime_ns == mtime  # skip-if-exists (load-graph.sh:50-67)
+    assert g2.n == g.n and g2.nnz == g.nnz
+    np.testing.assert_array_equal(g2.src, g.src)
+    np.testing.assert_array_equal(g2.dst, g.dst)
+    np.testing.assert_array_equal(g2.mapping, g.mapping)
+    np.testing.assert_allclose(g2.w, g.w)
