@@ -53,8 +53,18 @@ def main() -> None:
     edge_factor = int(os.environ.get("GRAPHTPU_BENCH_EDGE_FACTOR", "32"))
     itermax = int(os.environ.get("GRAPHTPU_BENCH_ITERS", "10"))
 
+    # generation is host-side and deterministic; cache it like the
+    # reference caches its ingest artifacts (load-graph.sh:50-67)
+    from graphtpu.ingest import cache as cache_mod
+
+    cache_dir = os.environ.get("GRAPHTPU_BENCH_CACHE", "./intermediate")
+    gname = f"bench-rmat-s{scale}-ef{edge_factor}"
     t0 = time.perf_counter()
-    g = rmat_graph(scale, edge_factor, directed=False, seed=42)
+    if cache_mod.exists(cache_dir, gname):
+        g = cache_mod.load(cache_dir, gname)
+    else:
+        g = rmat_graph(scale, edge_factor, directed=False, seed=42)
+        cache_mod.save(g, cache_dir, gname)
     gen_s = time.perf_counter() - t0
 
     # ---------------- CDLP (headline, slab kernel) ----------------

@@ -51,8 +51,8 @@ def build_incidence(graph: Graph):
         perm = np.argsort(centers, kind="stable")
         centers, neigh = centers[perm], neigh[perm]
     else:
-        p = graph.pull_perm()
-        centers, neigh = graph.dst[p], graph.src[p]
+        s, d, _ = graph.pull_arrays()
+        centers, neigh = d, s
     return centers.astype(np.int32), neigh.astype(np.int32)
 
 

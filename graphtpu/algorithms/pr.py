@@ -28,6 +28,30 @@ from graphtpu.utils.config import AlgorithmParams, PlatformConfig
 
 
 @partial(jax.jit, static_argnames=("n", "num_iterations"))
+def _pr_slab_kernel(plan, out_deg, damping, n, num_iterations):
+    """Slab (padded-ELL) variant: the pull sum is a dense per-bucket gather
+    + row-sum (graphtpu/ops/spmv.py) instead of a segment scatter."""
+    from graphtpu.core.semiring import PLUS_SECOND
+    from graphtpu.ops.spmv import slab_spmv
+
+    dtype = damping.dtype
+    inv_n = jnp.asarray(1.0 / n, dtype)
+    teleport = (1.0 - damping) * inv_n
+    is_dangling = out_deg == 0
+    safe_deg = jnp.where(is_dangling, 1, out_deg).astype(dtype)
+    inv_deg = jnp.where(is_dangling, 0.0, 1.0 / safe_deg)
+
+    r0 = jnp.full((n,), inv_n, dtype=dtype)
+
+    def body(_, r):
+        pulled = slab_spmv(PLUS_SECOND, plan, r * inv_deg, n)
+        dangling_mass = jnp.sum(jnp.where(is_dangling, r, 0.0))
+        return teleport + damping * (pulled + dangling_mass * inv_n)
+
+    return jax.lax.fori_loop(0, num_iterations, body, r0)
+
+
+@partial(jax.jit, static_argnames=("n", "num_iterations"))
 def _pr_kernel(edges_src, edges_dst, out_deg, damping, n, num_iterations):
     dtype = damping.dtype
     inv_n = jnp.asarray(1.0 / n, dtype)
@@ -55,14 +79,26 @@ def pr(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> AlgorithmR
     if params.damping_factor is None or params.num_iterations is None:
         raise ValueError("pr requires damping-factor and num-iterations")
     dtype = float_dtype(cfg)
-    coo = graph.device_pull(wdtype=dtype)
     out_deg = jnp.asarray(graph.out_degree.astype(np.int32))
-    ranks = _pr_kernel(
-        coo.src,
-        coo.dst,
-        out_deg,
-        jnp.asarray(params.damping_factor, dtype),
-        graph.n,
-        int(params.num_iterations),
-    )
+    if cfg.spmv_impl == "slab":
+        from graphtpu.ops.spmv import build_pull_plan
+
+        plan = build_pull_plan(graph, wdtype=dtype, with_values=False)
+        ranks = _pr_slab_kernel(
+            plan,
+            out_deg,
+            jnp.asarray(params.damping_factor, dtype),
+            graph.n,
+            int(params.num_iterations),
+        )
+    else:
+        coo = graph.device_pull(wdtype=dtype)
+        ranks = _pr_kernel(
+            coo.src,
+            coo.dst,
+            out_deg,
+            jnp.asarray(params.damping_factor, dtype),
+            graph.n,
+            int(params.num_iterations),
+        )
     return AlgorithmResult("pr", np.asarray(ranks), iterations=params.num_iterations)

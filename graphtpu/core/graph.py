@@ -176,6 +176,17 @@ class Graph:
             self._pull_perm = _lexsort_edges(self.src, self.dst, "dst")
         return self._pull_perm
 
+    def pull_arrays(self):
+        """(src, dst, w) sorted by (dst, src).
+
+        For undirected graphs the stored edge set is symmetric, so the
+        pull ordering is the push ordering with endpoint roles swapped —
+        no second lexsort needed."""
+        if not self.directed:
+            return self.dst, self.src, self.w
+        p = self.pull_perm()
+        return self.src[p], self.dst[p], self.w[p]
+
     def symmetrized(self) -> "Graph":
         """Structure of A | A^T with unit weights (wcc.cpp:53-55 analogue).
 
@@ -211,11 +222,11 @@ class Graph:
     def device_pull(self, wdtype=np.float32) -> COO:
         """Edges sorted by (dst, src) as device arrays."""
         if self._device_pull is None or self._device_pull.w.dtype != jnp.dtype(wdtype):
-            p = self.pull_perm()
+            s, d, w = self.pull_arrays()
             self._device_pull = COO(
-                jnp.asarray(self.src[p]),
-                jnp.asarray(self.dst[p]),
-                jnp.asarray(self._weights(wdtype)[p]),
+                jnp.asarray(s),
+                jnp.asarray(d),
+                jnp.asarray(w.astype(wdtype)),
             )
         return self._device_pull
 

@@ -30,80 +30,13 @@ with fixed-point early exit (LAGraph_cdlp.c:328-332).
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from graphtpu.core.types import INT32_INF
-
-# Bucket widths: ×4 spacing bounds slab padding at 4× (expected ~2×).
-DEFAULT_BUCKETS = (16, 64, 256, 1024, 4096)
-
-
-class SlabPlan(NamedTuple):
-    """Host-built static plan: per-bucket (rows, slab) plus the heavy tail."""
-
-    slabs: tuple          # tuple of (rows [R], slab [R, W]) int32 device arrays
-    heavy_rows: Optional[jax.Array]     # [H] int32 dense row ids (or None)
-    heavy_centers: Optional[jax.Array]  # [M_h] int32 indices into heavy_rows
-    heavy_neigh: Optional[jax.Array]    # [M_h] int32 global neighbor ids
-    has_neighbors: jax.Array            # [n] bool
-
-
-def build_slab_plan(
-    centers: np.ndarray,
-    neigh: np.ndarray,
-    deg: np.ndarray,
-    n: int,
-    buckets=DEFAULT_BUCKETS,
-) -> SlabPlan:
-    """Partition the center-sorted incidence stream into padded slabs.
-
-    `centers` must be sorted ascending; `neigh` aligned with it.
-    """
-    indptr = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(deg, out=indptr[1:])
-
-    slabs = []
-    prev = 0
-    for w in buckets:
-        sel = np.nonzero((deg > prev) & (deg <= w))[0]
-        prev = w
-        if sel.size == 0:
-            continue
-        r = sel.shape[0]
-        slab = np.full((r, w), -1, dtype=np.int32)
-        starts = indptr[sel]
-        degs = deg[sel]
-        # vectorized ragged gather: flat positions of every entry
-        offs = np.arange(w)
-        pos = starts[:, None] + offs[None, :]
-        mask = offs[None, :] < degs[:, None]
-        slab[mask] = neigh[pos[mask]]
-        slabs.append((jnp.asarray(sel.astype(np.int32)), jnp.asarray(slab)))
-
-    heavy_sel = np.nonzero(deg > buckets[-1])[0]
-    heavy_rows = heavy_centers = heavy_neigh = None
-    if heavy_sel.size:
-        # remap heavy centers to [0, H) and keep their (sorted) incidence
-        hmask = np.isin(centers, heavy_sel)
-        h_c = centers[hmask]
-        h_n = neigh[hmask]
-        remap = np.zeros(n, dtype=np.int32)
-        remap[heavy_sel] = np.arange(heavy_sel.shape[0], dtype=np.int32)
-        heavy_rows = jnp.asarray(heavy_sel.astype(np.int32))
-        heavy_centers = jnp.asarray(remap[h_c])
-        heavy_neigh = jnp.asarray(h_n.astype(np.int32))
-
-    return SlabPlan(
-        slabs=tuple(slabs),
-        heavy_rows=heavy_rows,
-        heavy_centers=heavy_centers,
-        heavy_neigh=heavy_neigh,
-        has_neighbors=jnp.asarray(deg > 0),
-    )
+from graphtpu.ops.slab import DEFAULT_BUCKETS, SlabPlan, build_slab_plan  # noqa: F401
 
 
 def _slab_minmode(labels: jax.Array, slab: jax.Array) -> jax.Array:
@@ -149,8 +82,8 @@ def _heavy_minmode(labels, heavy_centers, heavy_neigh, num_heavy):
 def cdlp_step(labels: jax.Array, plan: SlabPlan) -> jax.Array:
     """One synchronous CDLP iteration: new labels for every vertex."""
     new = labels
-    for rows, slab in plan.slabs:
-        new = new.at[rows].set(_slab_minmode(labels, slab))
+    for bucket in plan.slabs:
+        new = new.at[bucket.rows].set(_slab_minmode(labels, bucket.slab))
     if plan.heavy_rows is not None:
         num_heavy = plan.heavy_rows.shape[0]
         new = new.at[plan.heavy_rows].set(
@@ -174,16 +107,6 @@ def _cdlp_slab_kernel(plan: SlabPlan, labels0, itermax):
         cond, body, (labels0, jnp.bool_(True), jnp.int32(0))
     )
     return labels, it
-
-
-jax.tree_util.register_pytree_node(
-    SlabPlan,
-    lambda p: (
-        (p.slabs, p.heavy_rows, p.heavy_centers, p.heavy_neigh, p.has_neighbors),
-        None,
-    ),
-    lambda _, c: SlabPlan(*c),
-)
 
 
 def cdlp_slab_run(graph, centers, neigh, deg, itermax, cfg):

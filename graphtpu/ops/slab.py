@@ -1,0 +1,104 @@
+"""Degree-bucketed padded-ELL ("slab") graph layout — shared kernel infra.
+
+The TPU answer to degree skew (the problem the CUDA fork attacked with
+dynamic parallelism and warp-cooperative kernels, cdlp_kernel.cu:611-677,
+1031-1140): bucket rows by degree, pad each bucket to a static width, and
+run dense vectorized per-row reductions. Rows heavier than the largest
+bucket are handled by a sorted-segment fallback over just their edges
+(few rows in power-law graphs).
+
+Used by graphtpu/ops/minmode.py (CDLP) and graphtpu/ops/spmv.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+DEFAULT_BUCKETS = (16, 64, 256, 1024, 4096)
+
+
+class SlabBucket(NamedTuple):
+    rows: jax.Array           # [R] int32 — vertex ids of the bucket's rows
+    slab: jax.Array           # [R, W] int32 — neighbor ids, -1 = pad
+    values: Optional[jax.Array]  # [R, W] float — edge values aligned w/ slab
+
+
+class SlabPlan(NamedTuple):
+    """Static host-built plan: padded buckets + heavy-tail stream."""
+
+    slabs: Tuple[SlabBucket, ...]
+    heavy_rows: Optional[jax.Array]     # [H] int32 row ids
+    heavy_centers: Optional[jax.Array]  # [M_h] int32 indices into heavy_rows
+    heavy_neigh: Optional[jax.Array]    # [M_h] int32 global neighbor ids
+    heavy_values: Optional[jax.Array]   # [M_h] float edge values (or None)
+
+
+def build_slab_plan(
+    centers: np.ndarray,
+    neigh: np.ndarray,
+    deg: np.ndarray,
+    n: int,
+    buckets=DEFAULT_BUCKETS,
+    values: Optional[np.ndarray] = None,
+) -> SlabPlan:
+    """Partition a center-sorted (centers, neigh[, values]) stream into
+    padded slabs. `deg` must be the per-center multiplicity of `centers`."""
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=indptr[1:])
+
+    slabs = []
+    prev = 0
+    for w in buckets:
+        sel = np.nonzero((deg > prev) & (deg <= w))[0]
+        prev = w
+        if sel.size == 0:
+            continue
+        r = sel.shape[0]
+        starts = indptr[sel]
+        degs = deg[sel]
+        offs = np.arange(w)
+        pos = starts[:, None] + offs[None, :]
+        mask = offs[None, :] < degs[:, None]
+        slab = np.full((r, w), -1, dtype=np.int32)
+        slab[mask] = neigh[pos[mask]]
+        vslab = None
+        if values is not None:
+            vslab = np.zeros((r, w), dtype=values.dtype)
+            vslab[mask] = values[pos[mask]]
+            vslab = jnp.asarray(vslab)
+        slabs.append(SlabBucket(jnp.asarray(sel.astype(np.int32)), jnp.asarray(slab), vslab))
+
+    heavy_sel = np.nonzero(deg > buckets[-1])[0]
+    heavy_rows = heavy_centers = heavy_neigh = heavy_values = None
+    if heavy_sel.size:
+        heavy_flag = np.zeros(n, dtype=bool)
+        heavy_flag[heavy_sel] = True
+        hmask = heavy_flag[centers]
+        remap = np.zeros(n, dtype=np.int32)
+        remap[heavy_sel] = np.arange(heavy_sel.shape[0], dtype=np.int32)
+        heavy_rows = jnp.asarray(heavy_sel.astype(np.int32))
+        heavy_centers = jnp.asarray(remap[centers[hmask]])
+        heavy_neigh = jnp.asarray(neigh[hmask].astype(np.int32))
+        if values is not None:
+            heavy_values = jnp.asarray(values[hmask])
+
+    return SlabPlan(tuple(slabs), heavy_rows, heavy_centers, heavy_neigh, heavy_values)
+
+
+jax.tree_util.register_pytree_node(
+    SlabBucket,
+    lambda b: ((b.rows, b.slab, b.values), None),
+    lambda _, c: SlabBucket(*c),
+)
+jax.tree_util.register_pytree_node(
+    SlabPlan,
+    lambda p: (
+        (p.slabs, p.heavy_rows, p.heavy_centers, p.heavy_neigh, p.heavy_values),
+        None,
+    ),
+    lambda _, c: SlabPlan(*c),
+)

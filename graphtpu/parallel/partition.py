@@ -132,10 +132,8 @@ class ShardedGraph:
     # -- edge partitions ----------------------------------------------------
 
     def _build_pull(self, graph: Graph) -> ShardedCOO:
-        p = graph.pull_perm()
-        src = graph.src[p]
-        dst = graph.dst[p]
-        w = graph.w[p].astype(self.wdtype)
+        src, dst, w = graph.pull_arrays()
+        w = w.astype(self.wdtype)
         dst_local, valid, cols, _ = _partition_stream(
             self.mesh,
             dst,
