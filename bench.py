@@ -95,36 +95,24 @@ def main() -> None:
 
     from functools import partial
 
-    @partial(jax.jit, static_argnames=("n", "iters"))
-    def pr_loop(src, dst, out_deg, n, iters):
-        is_dangling = out_deg == 0
-        inv_deg = jnp.where(
-            is_dangling, 0.0, 1.0 / jnp.where(is_dangling, 1, out_deg).astype(jnp.float32)
-        )
-        r0 = jnp.full((n,), 1.0 / n, dtype=jnp.float32)
+    from graphtpu.algorithms.pr import _pr_kernel
 
-        def body(_, r):
-            pulled = jax.ops.segment_sum(
-                (r * inv_deg)[src], dst, num_segments=n, indices_are_sorted=True
-            )
-            dangling = jnp.sum(jnp.where(is_dangling, r, 0.0))
-            return 0.15 / n + 0.85 * (pulled + dangling / n)
-
-        return jax.lax.fori_loop(0, iters, body, r0)
-
-    _sync(pr_loop(coo.src, coo.dst, out_deg, n, pr_iters))
+    pr_indptr = jnp.asarray(g.pull_indptr.astype(np.int32))
+    args = (coo.src, coo.dst, pr_indptr, out_deg, jnp.float32(0.85), n, pr_iters)
+    _sync(_pr_kernel(*args))
     t0 = time.perf_counter()
-    _sync(pr_loop(coo.src, coo.dst, out_deg, n, pr_iters))
+    _sync(_pr_kernel(*args))
     pr_s = time.perf_counter() - t0
     pr_nnz_per_s = g.nnz * pr_iters / pr_s
 
     # ---------------- BFS GTEPS ----------------
     from graphtpu.algorithms.bfs import _bfs_kernel
 
-    levels, nit = _bfs_kernel(coo.src, coo.dst, jnp.int32(0), n)
+    indptr = jnp.asarray(g.pull_indptr.astype(np.int32))
+    levels, nit = _bfs_kernel(coo.src, coo.dst, indptr, jnp.int32(0), n)
     _sync(levels)
     t0 = time.perf_counter()
-    levels, nit = _bfs_kernel(coo.src, coo.dst, jnp.int32(0), n)
+    levels, nit = _bfs_kernel(coo.src, coo.dst, indptr, jnp.int32(0), n)
     _sync(levels)
     bfs_s = time.perf_counter() - t0
     bfs_gteps = g.nnz / bfs_s / 1e9

@@ -27,10 +27,12 @@ from graphtpu.algorithms.common import AlgorithmResult, register
 from graphtpu.utils.config import AlgorithmParams, PlatformConfig
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _bfs_kernel(edges_src, edges_dst, source, n):
+@partial(jax.jit, static_argnames=("n", "impl"))
+def _bfs_kernel(edges_src, edges_dst, indptr, source, n, impl="scan"):
     """edges sorted by dst (pull orientation). Returns int32 levels with
     INT32_INF for unreachable vertices."""
+    from graphtpu.ops.spmv import pull_reduce
+
     levels0 = jnp.full((n,), INT32_INF, dtype=jnp.int32).at[source].set(0)
     frontier0 = jnp.zeros((n,), dtype=jnp.int32).at[source].set(1)
 
@@ -40,8 +42,8 @@ def _bfs_kernel(edges_src, edges_dst, source, n):
 
     def body(state):
         level, levels, frontier, _ = state
-        reached = jax.ops.segment_max(
-            frontier[edges_src], edges_dst, num_segments=n, indices_are_sorted=True
+        reached = pull_reduce(
+            "max", frontier[edges_src], edges_dst, indptr, n, jnp.int32(0), impl
         )
         new_frontier = jnp.where(levels == INT32_INF, reached, 0)
         levels = jnp.where(new_frontier == 1, level + 1, levels)
@@ -60,7 +62,10 @@ def bfs(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> Algorithm
         raise ValueError("bfs requires source-vertex")
     src_dense = graph.dense_source(params.source_vertex)
     coo = graph.device_pull()
-    levels, niter = _bfs_kernel(coo.src, coo.dst, jnp.int32(src_dense), graph.n)
+    indptr = jnp.asarray(graph.pull_indptr.astype(np.int32))
+    levels, niter = _bfs_kernel(
+        coo.src, coo.dst, indptr, jnp.int32(src_dense), graph.n, cfg.spmv_impl
+    )
     levels = np.asarray(levels).astype(np.int64)
     levels[levels == INT32_INF] = UNREACHABLE
     return AlgorithmResult("bfs", levels, iterations=int(niter))

@@ -51,8 +51,10 @@ def _pr_slab_kernel(plan, out_deg, damping, n, num_iterations):
     return jax.lax.fori_loop(0, num_iterations, body, r0)
 
 
-@partial(jax.jit, static_argnames=("n", "num_iterations"))
-def _pr_kernel(edges_src, edges_dst, out_deg, damping, n, num_iterations):
+@partial(jax.jit, static_argnames=("n", "num_iterations", "impl"))
+def _pr_kernel(edges_src, edges_dst, indptr, out_deg, damping, n, num_iterations, impl="scan"):
+    from graphtpu.ops.spmv import pull_reduce
+
     dtype = damping.dtype
     inv_n = jnp.asarray(1.0 / n, dtype)
     teleport = (1.0 - damping) * inv_n
@@ -65,8 +67,8 @@ def _pr_kernel(edges_src, edges_dst, out_deg, damping, n, num_iterations):
 
     def body(_, r):
         contrib = r * inv_deg
-        pulled = jax.ops.segment_sum(
-            contrib[edges_src], edges_dst, num_segments=n, indices_are_sorted=True
+        pulled = pull_reduce(
+            "sum", contrib[edges_src], edges_dst, indptr, n, jnp.zeros((), dtype), impl
         )
         dangling_mass = jnp.sum(jnp.where(is_dangling, r, 0.0))
         return teleport + damping * (pulled + dangling_mass * inv_n)
@@ -93,12 +95,15 @@ def pr(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> AlgorithmR
         )
     else:
         coo = graph.device_pull(wdtype=dtype)
+        indptr = jnp.asarray(graph.pull_indptr.astype(np.int32))
         ranks = _pr_kernel(
             coo.src,
             coo.dst,
+            indptr,
             out_deg,
             jnp.asarray(params.damping_factor, dtype),
             graph.n,
             int(params.num_iterations),
+            cfg.spmv_impl,
         )
     return AlgorithmResult("pr", np.asarray(ranks), iterations=params.num_iterations)

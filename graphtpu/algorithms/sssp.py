@@ -27,8 +27,10 @@ from graphtpu.algorithms.common import AlgorithmResult, float_dtype, register
 from graphtpu.utils.config import AlgorithmParams, PlatformConfig
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _sssp_kernel(edges_src, edges_dst, edges_w, source, n):
+@partial(jax.jit, static_argnames=("n", "impl"))
+def _sssp_kernel(edges_src, edges_dst, indptr, edges_w, source, n, impl="scan"):
+    from graphtpu.ops.spmv import pull_reduce
+
     dtype = edges_w.dtype
     inf = jnp.asarray(jnp.inf, dtype)
     dist0 = jnp.full((n,), inf, dtype=dtype).at[source].set(0.0)
@@ -39,8 +41,8 @@ def _sssp_kernel(edges_src, edges_dst, edges_w, source, n):
 
     def body(state):
         dist, _, it = state
-        relaxed = jax.ops.segment_min(
-            dist[edges_src] + edges_w, edges_dst, num_segments=n, indices_are_sorted=True
+        relaxed = pull_reduce(
+            "min", dist[edges_src] + edges_w, edges_dst, indptr, n, inf, impl
         )
         new = jnp.minimum(dist, relaxed)
         changed = jnp.any(new < dist)
@@ -57,5 +59,8 @@ def sssp(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> Algorith
     dtype = float_dtype(cfg)
     src_dense = graph.dense_source(params.source_vertex)
     coo = graph.device_pull(wdtype=dtype)
-    dist, niter = _sssp_kernel(coo.src, coo.dst, coo.w, jnp.int32(src_dense), graph.n)
+    indptr = jnp.asarray(graph.pull_indptr.astype(np.int32))
+    dist, niter = _sssp_kernel(
+        coo.src, coo.dst, indptr, coo.w, jnp.int32(src_dense), graph.n, cfg.spmv_impl
+    )
     return AlgorithmResult("sssp", np.asarray(dist, dtype=np.float64), iterations=int(niter))

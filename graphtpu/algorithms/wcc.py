@@ -26,12 +26,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from graphtpu.core.graph import Graph
+from graphtpu.core.types import INT32_INF
 from graphtpu.algorithms.common import AlgorithmResult, register
 from graphtpu.utils.config import AlgorithmParams, PlatformConfig
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _wcc_kernel(edges_src, edges_dst, n):
+@partial(jax.jit, static_argnames=("n", "impl"))
+def _wcc_kernel(edges_src, edges_dst, indptr, n, impl="scan"):
+    from graphtpu.ops.spmv import pull_reduce
+
     labels0 = jnp.arange(n, dtype=jnp.int32)
 
     def cond(state):
@@ -40,8 +43,8 @@ def _wcc_kernel(edges_src, edges_dst, n):
 
     def body(state):
         labels, _, it = state
-        neigh_min = jax.ops.segment_min(
-            labels[edges_src], edges_dst, num_segments=n, indices_are_sorted=True
+        neigh_min = pull_reduce(
+            "min", labels[edges_src], edges_dst, indptr, n, INT32_INF, impl
         )
         new = jnp.minimum(labels, neigh_min)
         # pointer jumping: representative chains compress to their minimum
@@ -60,6 +63,7 @@ def _wcc_kernel(edges_src, edges_dst, n):
 def wcc(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> AlgorithmResult:
     sym = graph.symmetrized()
     coo = sym.device_pull()
-    labels, niter = _wcc_kernel(coo.src, coo.dst, sym.n)
+    indptr = jnp.asarray(sym.pull_indptr.astype(np.int32))
+    labels, niter = _wcc_kernel(coo.src, coo.dst, indptr, sym.n, cfg.spmv_impl)
     comp = graph.mapping[np.asarray(labels)]
     return AlgorithmResult("wcc", comp, iterations=int(niter))

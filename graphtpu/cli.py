@@ -22,6 +22,8 @@ def _add_platform_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num-devices", type=int, default=0,
                    help="mesh size for row-partitioned multi-chip execution (0/1 = single chip)")
     p.add_argument("--cdlp-impl", choices=["auto", "slab", "sort"], default=None)
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of each processing window here")
     p.add_argument("--platform-properties", default=None,
                    help="platform.properties file (flags override it)")
 
@@ -41,6 +43,13 @@ def _platform_config(args):
         cfg.num_devices = args.num_devices
     if getattr(args, "cdlp_impl", None):
         cfg.cdlp_impl = args.cdlp_impl
+    if getattr(args, "profile_dir", None):
+        cfg.profile_dir = args.profile_dir
+    # multi-host: no-op single-host, initializes jax.distributed when the
+    # GRAPHTPU_COORDINATOR / TPU-pod env is present
+    from graphtpu.parallel import multihost
+
+    multihost.initialize()
     return cfg
 
 

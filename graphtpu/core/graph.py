@@ -171,6 +171,16 @@ class Graph:
             np.cumsum(self.out_degree, out=self._indptr[1:])
         return self._indptr
 
+    @property
+    def pull_indptr(self) -> np.ndarray:
+        """CSC-style row pointers over the pull-ordered edges (segments of
+        equal destination) — the static segment structure the scan-based
+        reductions key on (graphtpu/ops/scan_reduce.py)."""
+        if getattr(self, "_pull_indptr", None) is None:
+            self._pull_indptr = np.zeros(self.n + 1, dtype=np.int64)
+            np.cumsum(self.in_degree, out=self._pull_indptr[1:])
+        return self._pull_indptr
+
     def pull_perm(self) -> np.ndarray:
         if self._pull_perm is None:
             self._pull_perm = _lexsort_edges(self.src, self.dst, "dst")

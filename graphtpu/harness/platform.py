@@ -85,9 +85,19 @@ class GraphTpuPlatform:
         kernel like the C++ binaries (bfs.cpp:105-107)."""
         graph = self.graphs.get(spec.name) or self.load_graph(spec)
         params = spec.params.get(algorithm)
-        proc_time_start(self.collector.stream)
-        result = run_algorithm(algorithm, graph, params, self.config)
-        proc_time_end(self.collector.stream)
+        profiler_ctx = None
+        if self.config.profile_dir:
+            import jax
+
+            profiler_ctx = jax.profiler.trace(self.config.profile_dir)
+            profiler_ctx.__enter__()
+        try:
+            proc_time_start(self.collector.stream)
+            result = run_algorithm(algorithm, graph, params, self.config)
+            proc_time_end(self.collector.stream)
+        finally:
+            if profiler_ctx is not None:
+                profiler_ctx.__exit__(None, None, None)
         return result
 
     def finalize(self) -> BenchmarkMetrics:

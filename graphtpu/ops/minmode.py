@@ -4,27 +4,31 @@ The reference's two native formulations of "smallest most-frequent
 neighbor label" are a global merge-sort + run-length scan on CPU
 (LAGraph_cdlp.c:286-323) and per-row hash tables on GPU
 (cdlp_kernel.cu:419-512, shared-mem variant :1031-1140). Neither maps to
-TPU: global sorts of the full incidence stream are O(nnz log² nnz) with
-poor constants, and hash probing is scalar.
+TPU: global sorts are expensive and hash probing is scalar.
 
-TPU formulation: bucket rows by degree into padded-ELL *slabs* (the TPU
-analogue of the CUDA fork's degree-dependent kernel dispatch,
-cdlp_kernel.cu:611-677). For a bucket of R rows with width W:
+TPU formulation, shaped by measured v5e primitive costs (gather ~7 ns/el,
+scatter ~30 ns/el, row-wise bitonic sort ~0.1 ns/el, prefix scans
+~1.4 ns/el):
 
-1. gather labels into an [R, W] slab (pads = INT32_INF),
-2. `jnp.sort` along axis 1 — XLA lowers to a vectorized bitonic network,
-   every row independent, O(W log² W) VPU work instead of O(W²) all-pairs,
-3. run-length scan along the row (cummax of run starts — the same trick
-   as the global-sort path but row-local),
-4. two masked row reductions: max run length, then min label among
-   arg-max runs (the spec's smallest-most-frequent tie-break,
-   LAGraph_cdlp.c:40-45).
+* rows bucketed by degree into padded-ELL slabs (graphtpu/ops/slab.py,
+  x2-spaced widths -> <=2x padding) — the TPU analogue of the CUDA fork's
+  degree-dependent kernel dispatch (cdlp_kernel.cu:611-677);
+* per bucket: one [R, W] label gather (the unavoidable cost), `jnp.sort`
+  along the row (vectorized bitonic — near free), run-length scan via
+  row-local cummax, two masked row reductions for the
+  smallest-most-frequent tie-break (LAGraph_cdlp.c:40-45);
+* heavy-tail rows (degree > largest bucket): pair-sort of (center, label)
+  + packed-scan segmented reductions (graphtpu/ops/scan_reduce.py idea) —
+  no segment ops, no per-edge max-count gather;
+* results assembled with one static inverse-permutation gather instead of
+  per-bucket scatters (slab.assemble);
+* iteration 0 on duplicate-free incidence (undirected graphs): labels are
+  the identity, so the mode is simply the minimum neighbor id — computed
+  without any gather (the generalization of the CUDA fork's
+  cdlp_first_iteration_findmin, cdlp_kernel.cu:76-117).
 
-Rows heavier than the largest bucket go through the global sorted-segment
-path restricted to just those rows (power-law graphs have few such rows).
-
-Everything is static-shaped; the iteration loop is a `lax.while_loop`
-with fixed-point early exit (LAGraph_cdlp.c:328-332).
+The iteration loop is a `lax.while_loop` with fixed-point early exit
+(LAGraph_cdlp.c:328-332).
 """
 
 from __future__ import annotations
@@ -36,14 +40,20 @@ import jax
 import jax.numpy as jnp
 
 from graphtpu.core.types import INT32_INF
-from graphtpu.ops.slab import DEFAULT_BUCKETS, SlabPlan, build_slab_plan  # noqa: F401
+from graphtpu.ops.slab import DEFAULT_BUCKETS, SlabPlan, assemble, build_slab_plan  # noqa: F401
+
+_M31 = (1 << 31) - 1
 
 
 def _slab_minmode(labels: jax.Array, slab: jax.Array) -> jax.Array:
     """Per-row smallest-most-frequent label over a padded slab [R, W]."""
     lab = jnp.where(slab >= 0, labels[jnp.maximum(slab, 0)], INT32_INF)
+    return _rowwise_minmode(lab)
+
+
+def _rowwise_minmode(lab: jax.Array) -> jax.Array:
+    """Min-mode along axis 1; INT32_INF entries are padding."""
     s = jnp.sort(lab, axis=1)
-    w = s.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     is_start = jnp.concatenate(
         [jnp.ones((s.shape[0], 1), dtype=bool), s[:, 1:] != s[:, :-1]], axis=1
@@ -60,47 +70,94 @@ def _slab_minmode(labels: jax.Array, slab: jax.Array) -> jax.Array:
     return jnp.min(cand, axis=1)
 
 
-def _heavy_minmode(labels, heavy_centers, heavy_neigh, num_heavy):
-    """Global-sort min-mode restricted to the heavy rows' incidence."""
-    from graphtpu.algorithms.cdlp import _run_extents
+def _heavy_minmode(labels, plan: SlabPlan):
+    """Min-mode over the heavy-tail incidence stream via pair sort +
+    packed prefix scans (segment boundaries are static)."""
+    centers = plan.heavy_centers          # static, ascending, int32
+    indptr = plan.heavy_indptr            # static [H+1]
+    lab = labels[plan.heavy_neigh]
+    c_s, l_s = jax.lax.sort((centers, lab), num_keys=2)  # c_s == centers
+    m = l_s.shape[0]
+    idx = jnp.arange(m, dtype=jnp.int32)
 
-    lab = labels[heavy_neigh]
-    c_s, l_s = jax.lax.sort((heavy_centers, lab), num_keys=2)
-    counts = _run_extents(c_s, l_s)
-    max_count = jax.ops.segment_max(
-        counts, c_s, num_segments=num_heavy, indices_are_sorted=True
+    seg_start = jnp.zeros((m,), dtype=bool).at[indptr[:-1]].set(True)
+    is_start = seg_start | jnp.concatenate(
+        [jnp.ones((1,), bool), l_s[1:] != l_s[:-1]]
     )
-    is_best = counts == max_count[c_s]
-    return jax.ops.segment_min(
-        jnp.where(is_best, l_s, INT32_INF),
-        c_s,
-        num_segments=num_heavy,
-        indices_are_sorted=True,
+    is_last = jnp.concatenate([is_start[1:], jnp.ones((1,), bool)])
+    run_start = jax.lax.cummax(jnp.where(is_start, idx, -1))
+    count = idx - run_start + 1            # run length, valid at is_last
+
+    c64 = c_s.astype(jnp.int64)
+    # phase A: per-position max run count within the segment (fwd+bwd
+    # packed cummax — center in the high bits makes the scan reset at
+    # segment boundaries)
+    pk = jnp.where(is_last, (c64 << 31) | count.astype(jnp.int64), c64 << 31)
+    fwd = jax.lax.cummax(pk)
+    h = indptr.shape[0] - 1
+    c_flip = ((h - 1) - c64)[::-1]      # ascending along the reversed stream
+    pk_rev = jnp.where(
+        is_last[::-1],
+        (c_flip << 31) | count.astype(jnp.int64)[::-1],
+        c_flip << 31,
     )
+    bwd = jax.lax.cummax(pk_rev)[::-1]
+    maxc = jnp.maximum(fwd & _M31, bwd & _M31).astype(jnp.int32)
+
+    # phase B: smallest label among max-count runs
+    eligible = is_last & (count == maxc) & (l_s != INT32_INF)
+    pkb = jnp.where(
+        eligible,
+        (c64 << 31) | (_M31 - l_s).astype(jnp.int64),
+        c64 << 31,
+    )
+    wins = jax.lax.cummax(pkb)
+    ends = jnp.maximum(indptr[1:] - 1, 0)
+    return (_M31 - (wins[ends] & _M31)).astype(jnp.int32)
+
+
+def _iter0_minmode(plan: SlabPlan, labels0: jax.Array) -> jax.Array:
+    """Iteration 0 on duplicate-free incidence: every neighbor label is
+    distinct, so the min-mode is the minimum neighbor id — no gather."""
+    parts = [
+        jnp.min(jnp.where(b.slab >= 0, b.slab, INT32_INF), axis=1) for b in plan.slabs
+    ]
+    heavy = None
+    if plan.heavy_rows is not None:
+        from graphtpu.ops.scan_reduce import seg_min_scan
+
+        heavy = seg_min_scan(
+            plan.heavy_neigh, plan.heavy_centers, plan.heavy_indptr, jnp.int32(INT32_INF)
+        )
+    rest = labels0[plan.rest_rows] if plan.rest_rows is not None else None
+    return assemble(plan, parts, heavy, rest)
 
 
 def cdlp_step(labels: jax.Array, plan: SlabPlan) -> jax.Array:
     """One synchronous CDLP iteration: new labels for every vertex."""
-    new = labels
-    for bucket in plan.slabs:
-        new = new.at[bucket.rows].set(_slab_minmode(labels, bucket.slab))
-    if plan.heavy_rows is not None:
-        num_heavy = plan.heavy_rows.shape[0]
-        new = new.at[plan.heavy_rows].set(
-            _heavy_minmode(labels, plan.heavy_centers, plan.heavy_neigh, num_heavy)
-        )
-    return new
+    parts = [_slab_minmode(labels, b.slab) for b in plan.slabs]
+    heavy = _heavy_minmode(labels, plan) if plan.heavy_rows is not None else None
+    rest = labels[plan.rest_rows] if plan.rest_rows is not None else None
+    return assemble(plan, parts, heavy, rest)
 
 
-@partial(jax.jit, static_argnames=("itermax",))
-def _cdlp_slab_kernel(plan: SlabPlan, labels0, itermax):
+@partial(jax.jit, static_argnames=("itermax", "first_iter_min"))
+def _cdlp_slab_kernel(plan: SlabPlan, labels0, itermax, first_iter_min=False):
     def cond(state):
         _, changed, it = state
         return changed & (it < itermax)
 
     def body(state):
         labels, _, it = state
-        new = cdlp_step(labels, plan)
+        if first_iter_min:
+            new = jax.lax.cond(
+                it == 0,
+                lambda l: _iter0_minmode(plan, l),
+                lambda l: cdlp_step(l, plan),
+                labels,
+            )
+        else:
+            new = cdlp_step(labels, plan)
         return new, jnp.any(new != labels), it + 1
 
     labels, _, it = jax.lax.while_loop(
@@ -114,5 +171,8 @@ def cdlp_slab_run(graph, centers, neigh, deg, itermax, cfg):
     buckets = tuple(cfg.slab_buckets) if cfg and cfg.slab_buckets else DEFAULT_BUCKETS
     plan = build_slab_plan(centers, neigh, deg.astype(np.int64), graph.n, buckets)
     labels0 = jnp.arange(graph.n, dtype=jnp.int32)
-    labels, it = _cdlp_slab_kernel(plan, labels0, int(itermax))
+    # duplicate-free incidence (undirected simple graphs) admits the
+    # gather-free first iteration
+    first_iter_min = not graph.directed
+    labels, it = _cdlp_slab_kernel(plan, labels0, int(itermax), first_iter_min)
     return labels, it

@@ -18,7 +18,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-DEFAULT_BUCKETS = (16, 64, 256, 1024, 4096)
+# x2-spaced buckets bound slab padding at 2x (measured ~1.2x on RMAT);
+# gathers dominate kernel cost on TPU, so tight padding matters more than
+# kernel count (each bucket compiles one fused dense block).
+DEFAULT_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 
 
 class SlabBucket(NamedTuple):
@@ -28,13 +31,22 @@ class SlabBucket(NamedTuple):
 
 
 class SlabPlan(NamedTuple):
-    """Static host-built plan: padded buckets + heavy-tail stream."""
+    """Static host-built plan: padded buckets + heavy-tail stream.
+
+    `inv_perm` maps concat(bucket rows..., heavy rows, zero-degree rows)
+    back to vertex order, so per-iteration results are assembled with one
+    static-permutation gather instead of per-bucket scatters (gathers are
+    ~4x cheaper than scatters on TPU per microbenchmarks).
+    """
 
     slabs: Tuple[SlabBucket, ...]
     heavy_rows: Optional[jax.Array]     # [H] int32 row ids
     heavy_centers: Optional[jax.Array]  # [M_h] int32 indices into heavy_rows
     heavy_neigh: Optional[jax.Array]    # [M_h] int32 global neighbor ids
     heavy_values: Optional[jax.Array]   # [M_h] float edge values (or None)
+    heavy_indptr: Optional[jax.Array]   # [H+1] int32 segment starts in the heavy stream
+    rest_rows: Optional[jax.Array]      # [Z] int32 zero-degree rows (or None)
+    inv_perm: jax.Array                 # [n] int32 assembly permutation
 
 
 def build_slab_plan(
@@ -51,6 +63,7 @@ def build_slab_plan(
     np.cumsum(deg, out=indptr[1:])
 
     slabs = []
+    order_parts = []
     prev = 0
     for w in buckets:
         sel = np.nonzero((deg > prev) & (deg <= w))[0]
@@ -71,9 +84,10 @@ def build_slab_plan(
             vslab[mask] = values[pos[mask]]
             vslab = jnp.asarray(vslab)
         slabs.append(SlabBucket(jnp.asarray(sel.astype(np.int32)), jnp.asarray(slab), vslab))
+        order_parts.append(sel)
 
     heavy_sel = np.nonzero(deg > buckets[-1])[0]
-    heavy_rows = heavy_centers = heavy_neigh = heavy_values = None
+    heavy_rows = heavy_centers = heavy_neigh = heavy_values = heavy_indptr = None
     if heavy_sel.size:
         heavy_flag = np.zeros(n, dtype=bool)
         heavy_flag[heavy_sel] = True
@@ -85,8 +99,41 @@ def build_slab_plan(
         heavy_neigh = jnp.asarray(neigh[hmask].astype(np.int32))
         if values is not None:
             heavy_values = jnp.asarray(values[hmask])
+        h_ind = np.zeros(heavy_sel.shape[0] + 1, dtype=np.int64)
+        np.cumsum(deg[heavy_sel], out=h_ind[1:])
+        heavy_indptr = jnp.asarray(h_ind.astype(np.int32))
+        order_parts.append(heavy_sel)
 
-    return SlabPlan(tuple(slabs), heavy_rows, heavy_centers, heavy_neigh, heavy_values)
+    rest = np.nonzero(deg == 0)[0]
+    rest_rows = jnp.asarray(rest.astype(np.int32)) if rest.size else None
+    if rest.size:
+        order_parts.append(rest)
+
+    order = np.concatenate(order_parts) if order_parts else np.empty(0, np.int64)
+    inv_perm = np.empty(n, dtype=np.int32)
+    inv_perm[order] = np.arange(n, dtype=np.int32)
+
+    return SlabPlan(
+        tuple(slabs),
+        heavy_rows,
+        heavy_centers,
+        heavy_neigh,
+        heavy_values,
+        heavy_indptr,
+        rest_rows,
+        jnp.asarray(inv_perm),
+    )
+
+
+def assemble(plan: SlabPlan, bucket_results, heavy_result, rest_values) -> jax.Array:
+    """Concatenate per-bucket results in plan order and apply the static
+    inverse permutation — one gather instead of per-bucket scatters."""
+    parts = list(bucket_results)
+    if heavy_result is not None:
+        parts.append(heavy_result)
+    if rest_values is not None:
+        parts.append(rest_values)
+    return jnp.concatenate(parts)[plan.inv_perm]
 
 
 jax.tree_util.register_pytree_node(
@@ -96,9 +143,6 @@ jax.tree_util.register_pytree_node(
 )
 jax.tree_util.register_pytree_node(
     SlabPlan,
-    lambda p: (
-        (p.slabs, p.heavy_rows, p.heavy_centers, p.heavy_neigh, p.heavy_values),
-        None,
-    ),
+    lambda p: (tuple(p), None),
     lambda _, c: SlabPlan(*c),
 )

@@ -28,6 +28,39 @@ from graphtpu.core.semiring import Semiring
 from graphtpu.ops.slab import SlabPlan, build_slab_plan
 
 
+def pull_reduce(
+    kind: str,
+    terms: jax.Array,
+    seg_ids: jax.Array,
+    indptr: Optional[jax.Array],
+    n: int,
+    identity,
+    impl: str = "scan",
+) -> jax.Array:
+    """Reduce per-edge `terms` into per-vertex values over statically
+    sorted segments. `impl`: "scan" (packed-scan reductions, default —
+    3-6x faster than XLA segment ops on TPU per microbenchmarks) or
+    "xla" (jax.ops.segment_*)."""
+    # the min/max order-packing is 32-bit; 64-bit floats keep the XLA path
+    pack_ok = not (terms.dtype == jnp.float64 and kind in ("max", "min"))
+    if impl != "xla" and indptr is not None and pack_ok:
+        from graphtpu.ops.scan_reduce import seg_max_scan, seg_min_scan, seg_sum_scan
+
+        if kind == "sum":
+            return seg_sum_scan(terms, indptr)
+        if kind == "max":
+            return seg_max_scan(terms, seg_ids, indptr, identity)
+        if kind == "min":
+            return seg_min_scan(terms, seg_ids, indptr, identity)
+        raise ValueError(kind)
+    fn = {
+        "sum": jax.ops.segment_sum,
+        "max": jax.ops.segment_max,
+        "min": jax.ops.segment_min,
+    }[kind]
+    return fn(terms, seg_ids, num_segments=n, indices_are_sorted=True)
+
+
 def build_pull_plan(
     graph: Graph, wdtype=np.float32, buckets=None, with_values: bool = True
 ) -> SlabPlan:
@@ -66,13 +99,16 @@ def slab_spmv(
     }
     rfn = row_reduce or reduce_fns[semiring.add.name]
 
-    y = jnp.full((n,), ident, dtype=dtype)
+    from graphtpu.ops.slab import assemble
+
+    parts = []
     for bucket in plan.slabs:
         xv = x[jnp.maximum(bucket.slab, 0)]
         w = bucket.values if bucket.values is not None else None
         terms = semiring.mul(w, xv) if w is not None else xv
         terms = jnp.where(bucket.slab >= 0, terms, ident)
-        y = y.at[bucket.rows].set(rfn(terms))
+        parts.append(rfn(terms))
+    heavy = None
     if plan.heavy_rows is not None:
         hx = x[plan.heavy_neigh]
         terms = (
@@ -80,11 +116,17 @@ def slab_spmv(
             if plan.heavy_values is not None
             else hx
         )
-        hy = semiring.add.segment_reduce(
+        kind = {"plus": "sum", "min": "min", "max": "max", "lor": "max"}[semiring.add.name]
+        heavy = pull_reduce(
+            kind,
             terms,
             plan.heavy_centers,
-            num_segments=plan.heavy_rows.shape[0],
-            indices_are_sorted=True,
+            plan.heavy_indptr,
+            plan.heavy_rows.shape[0],
+            ident,
+            "scan",
         )
-        y = y.at[plan.heavy_rows].set(hy)
-    return y
+    rest = None
+    if plan.rest_rows is not None:
+        rest = jnp.full((plan.rest_rows.shape[0],), ident, dtype=dtype)
+    return assemble(plan, parts, heavy, rest)

@@ -120,16 +120,25 @@ class PlatformConfig:
     intermediate_dir: str = "./intermediate"
     # compute precision for float-valued algorithms ("float32"|"float64")
     precision: str = "float32"
-    # kernel variant selection: "xla" (segment ops) or "pallas" where available
-    spmv_impl: str = "xla"
+    # kernel variant selection for the pull reduction: "scan" (packed-scan
+    # segment reductions — fastest on TPU), "xla" (segment ops), or "slab"
+    # (padded-ELL dense reductions; PR only for now)
+    spmv_impl: str = "scan"
     cdlp_impl: str = "auto"   # auto|slab|sort
-    # slab (padded-ELL) degree bucket boundaries for CDLP/LCC kernels
-    slab_buckets: tuple = (16, 64, 256, 1024)
+    # slab (padded-ELL) degree bucket boundaries for CDLP/LCC kernels;
+    # None/empty = library default (graphtpu/ops/slab.py DEFAULT_BUCKETS)
+    slab_buckets: Optional[tuple] = None
     # device mesh axis size for row-partitioned multi-chip execution (0 = all)
     num_devices: int = 0
     # skip convergence checks for the first k iterations
     # (reference trick: optimized_skip_checkequal, cdlp_kernel.cu:1254-1271)
     skip_convergence_checks: int = 0
+    # write a jax.profiler trace of each processing window here
+    # (TPU analogue of the reference's nested scoped timers + CUDA events)
+    profile_dir: Optional[str] = None
+    # per-iteration device timing: print "[TPU][TIMER] <algo> iter k took Xms"
+    # lines (analogue of common/utils.hpp:344-382's CUDA-event queue)
+    iteration_timing: bool = False
 
     @classmethod
     def from_properties(cls, path: str | os.PathLike) -> "PlatformConfig":
@@ -141,6 +150,7 @@ class PlatformConfig:
             "platform.graphtpu.spmv-impl": ("spmv_impl", str),
             "platform.graphtpu.cdlp-impl": ("cdlp_impl", str),
             "platform.graphtpu.num-devices": ("num_devices", int),
+            "platform.graphtpu.profile-dir": ("profile_dir", str),
         }
         for key, (attr, cast) in m.items():
             if key in props:

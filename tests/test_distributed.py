@@ -94,7 +94,7 @@ def test_dist_matches_single_chip_on_random_graph():
     single = run_algorithm(
         "pr", g, AlgorithmParams(damping_factor=0.85, num_iterations=10), cfg
     )
-    np.testing.assert_allclose(ranks, single.values, rtol=1e-12)
+    np.testing.assert_allclose(ranks, single.values, rtol=1e-9)
 
     labels, _ = dist.cdlp_dist(sg, 5)
     single = run_algorithm("cdlp", g, AlgorithmParams(max_iterations=5))
