@@ -143,25 +143,27 @@ def cdlp_step(labels: jax.Array, plan: SlabPlan) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("itermax", "first_iter_min"))
 def _cdlp_slab_kernel(plan: SlabPlan, labels0, itermax, first_iter_min=False):
+    """`first_iter_min` runs the gather-free identity-label iteration
+    before entering the loop (kept outside the loop body: a lax.cond in
+    the body would make XLA compile-and-schedule both branches every
+    iteration)."""
+    start = jnp.int32(0)
+    labels_init = labels0
+    if first_iter_min and itermax >= 1:
+        labels_init = _iter0_minmode(plan, labels0)
+        start = jnp.int32(1)
+
     def cond(state):
         _, changed, it = state
         return changed & (it < itermax)
 
     def body(state):
         labels, _, it = state
-        if first_iter_min:
-            new = jax.lax.cond(
-                it == 0,
-                lambda l: _iter0_minmode(plan, l),
-                lambda l: cdlp_step(l, plan),
-                labels,
-            )
-        else:
-            new = cdlp_step(labels, plan)
+        new = cdlp_step(labels, plan)
         return new, jnp.any(new != labels), it + 1
 
     labels, _, it = jax.lax.while_loop(
-        cond, body, (labels0, jnp.bool_(True), jnp.int32(0))
+        cond, body, (labels_init, jnp.bool_(True), start)
     )
     return labels, it
 
