@@ -101,8 +101,10 @@ def _lcc_bucket_sweep(numerator, indptr, col, c, o, pad, search_iters):
     return num
 
 
-@register("lcc")
-def lcc(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> AlgorithmResult:
+def prepare_lcc(graph: Graph):
+    """Host-side prep shared by the single-chip and distributed paths:
+    symmetrized CSR structure S (self-loops dropped) and the A-edge sweep
+    list with the lower-S-degree endpoint enumerated."""
     n = graph.n
     sym = graph.symmetrized()
 
@@ -123,12 +125,19 @@ def lcc(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> Algorithm
     c = np.where(du <= dw, a_u, a_w).astype(np.int32)
     o = np.where(du <= dw, a_w, a_u).astype(np.int32)
     dc = np.minimum(du, dw)
+    return s_indptr, s_dst.astype(np.int32), s_deg, c, o, dc
+
+
+@register("lcc")
+def lcc(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> AlgorithmResult:
+    n = graph.n
+    s_indptr, s_dst, s_deg, c, o, dc = prepare_lcc(graph)
 
     max_deg = int(s_deg.max()) if n else 0
     search_iters = max(1, int(np.ceil(np.log2(max(max_deg, 2) + 1))))
 
     indptr_d = jnp.asarray(s_indptr)
-    col_d = jnp.asarray(s_dst.astype(np.int32))
+    col_d = jnp.asarray(s_dst)
     numerator = jnp.zeros((n,), dtype=jnp.int32)
 
     for pad in _bucket_bounds(max_deg):

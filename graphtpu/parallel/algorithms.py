@@ -273,3 +273,71 @@ def cdlp_dist(sg: ShardedGraph, itermax: int):
     deg = sg.incidence_degree_padded()
     labels, it = cdlp_dist_kernel(inc, deg, sg.mesh, sg.rows_per_dev, sg.n, int(itermax))
     return np.asarray(labels)[: sg.n], int(it)
+
+
+# --------------------------------------------------------------------- LCC
+
+
+def lcc_dist(sg: ShardedGraph):
+    """Distributed LCC: the A-edge sweep list is split evenly across the
+    mesh (the CSR structure S is replicated — it is read-only and the sweep
+    is the dominant cost); per-device partial numerators are combined with
+    one psum. Work partitioning is by edges, not rows, so degree skew
+    balances automatically."""
+    from graphtpu.algorithms.lcc import _lcc_bucket_sweep, _bucket_bounds, _CHUNK, prepare_lcc
+
+    graph = sg.graph
+    n = graph.n
+    mesh = sg.mesh
+    num_devices = sg.num_devices
+    s_indptr, s_dst, s_deg, c, o, dc = prepare_lcc(graph)
+    max_deg = int(s_deg.max()) if n else 0
+    search_iters = max(1, int(np.ceil(np.log2(max(max_deg, 2) + 1))))
+
+    indptr_d = sg.put_replicated(s_indptr)
+    col_d = sg.put_replicated(s_dst)
+    numerator = sg.put_replicated(np.zeros(n, dtype=np.int32))
+
+    import jax as _jax
+    from jax.sharding import NamedSharding
+
+    edge_sharding = NamedSharding(mesh, P(ROWS_AXIS, None))
+
+    for pad in _bucket_bounds(max_deg):
+        lo_bound = 0 if pad == 16 else pad // 8
+        sel = (dc > lo_bound) & (dc <= pad) if pad > 16 else dc <= pad
+        cnt = int(sel.sum())
+        if cnt == 0:
+            continue
+        per_dev = -(-cnt // (num_devices * _CHUNK)) * _CHUNK
+        cb = np.full((num_devices, per_dev), -1, dtype=np.int32)
+        ob = np.full((num_devices, per_dev), -1, dtype=np.int32)
+        flat_c, flat_o = c[sel], o[sel]
+        for d in range(num_devices):
+            part = flat_c[d * per_dev : (d + 1) * per_dev]
+            cb[d, : part.shape[0]] = part
+            ob[d, : part.shape[0]] = flat_o[d * per_dev : (d + 1) * per_dev]
+        cb_d = _jax.device_put(jnp.asarray(cb), edge_sharding)
+        ob_d = _jax.device_put(jnp.asarray(ob), edge_sharding)
+
+        def bucket_block(num, indptr, col, cdev, odev, pad=pad):
+            local = _lcc_bucket_sweep(
+                jnp.zeros_like(num), indptr, col, cdev[0], odev[0], pad, search_iters
+            )
+            return num + _jax.lax.psum(local, ROWS_AXIS)
+
+        step = _jax.shard_map(
+            bucket_block,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(ROWS_AXIS, None), P(ROWS_AXIS, None)),
+            out_specs=P(),
+            check_vma=False,
+        )
+        numerator = step(numerator, indptr_d, col_d, cb_d, ob_d)
+
+    num = np.asarray(numerator, dtype=np.float64)
+    d = s_deg.astype(np.float64)
+    denom = d * (d - 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        coeff = np.where(denom > 0, num / denom, 0.0)
+    return coeff

@@ -66,6 +66,10 @@ def try_run_distributed(
         sg = _sharded(graph, cfg, wdtype)
         labels, it = dist.cdlp_dist(sg, params.max_iterations)
         return AlgorithmResult("cdlp", graph.mapping[labels], iterations=it)
+    if name == "lcc":
+        sg = _sharded(graph, cfg, wdtype)
+        coeff = dist.lcc_dist(sg)
+        return AlgorithmResult("lcc", coeff)
 
     log.info("no distributed implementation for %s — using single-chip path", name)
     return None

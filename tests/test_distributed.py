@@ -17,12 +17,12 @@ from graphtpu.ingest.loader import load_graph_from_spec
 from graphtpu.parallel import ShardedGraph, make_mesh
 from graphtpu.parallel import algorithms as dist
 from graphtpu.core.types import INT32_INF, UNREACHABLE
-from graphtpu.utils.config import GraphSpec
+from graphtpu.utils.config import GraphSpec, PlatformConfig
 from graphtpu.utils.synth import uniform_graph
 
 FIXTURES = Path("/root/reference/example-data-sets/graphs")
 
-ALGO_SUFFIX = {"bfs": "BFS", "pr": "PR", "wcc": "WCC", "cdlp": "CDLP", "sssp": "SSSP"}
+ALGO_SUFFIX = {"bfs": "BFS", "pr": "PR", "wcc": "WCC", "cdlp": "CDLP", "sssp": "SSSP", "lcc": "LCC"}
 
 
 def _spec(name):
@@ -77,6 +77,27 @@ def test_cdlp_dist(sharded):
     spec, g, sg = sharded
     labels, _ = dist.cdlp_dist(sg, spec.params["cdlp"].max_iterations)
     _validate(spec, g, "cdlp", g.mapping[labels])
+
+
+def test_lcc_dist(sharded):
+    spec, g, sg = sharded
+    coeff = dist.lcc_dist(sg)
+    _validate(spec, g, "lcc", coeff)
+
+
+def test_dispatch_all_six(sharded):
+    """run_algorithm with num_devices > 1 routes every algorithm through
+    the mesh and still validates."""
+    from graphtpu.algorithms.common import run_algorithm
+    from graphtpu.harness.validator import validate_result
+
+    spec, g, _ = sharded
+    cfg = PlatformConfig(num_devices=len(jax.devices()), precision="float64")
+    for algo in spec.algorithms:
+        res = run_algorithm(algo, g, spec.params.get(algo), cfg)
+        golden = FIXTURES / f"{spec.name}-{ALGO_SUFFIX[algo]}"
+        ok, msg = validate_result(res, g, str(golden))
+        assert ok, f"{spec.name}/{algo} dispatch: {msg}"
 
 
 def test_dist_matches_single_chip_on_random_graph():
