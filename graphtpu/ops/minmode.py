@@ -168,6 +168,12 @@ def _cdlp_slab_kernel(plan: SlabPlan, labels0, itermax, first_iter_min=False):
     return labels, it
 
 
+@partial(jax.jit, static_argnames=("first",))
+def _cdlp_one_step(plan: SlabPlan, labels, first=False):
+    new = _iter0_minmode(plan, labels) if first else cdlp_step(labels, plan)
+    return new, jnp.any(new != labels)
+
+
 def cdlp_slab_run(graph, centers, neigh, deg, itermax, cfg):
     """Entry point used by graphtpu/algorithms/cdlp.py. Returns (labels, it)."""
     buckets = tuple(cfg.slab_buckets) if cfg and cfg.slab_buckets else DEFAULT_BUCKETS
@@ -176,5 +182,25 @@ def cdlp_slab_run(graph, centers, neigh, deg, itermax, cfg):
     # duplicate-free incidence (undirected simple graphs) admits the
     # gather-free first iteration
     first_iter_min = not graph.directed
+
+    if cfg is not None and cfg.iteration_timing:
+        # host-stepped loop with per-iteration device timing — the
+        # observability analogue of the reference's CUDA-event queue
+        # ([CUDA][TIMER] lines, common/utils.hpp:344-382)
+        from graphtpu.utils.timers import IterationTimer
+
+        timer = IterationTimer()
+        labels = labels0
+        it = 0
+        for i in range(int(itermax)):
+            timer.start()
+            labels, changed = _cdlp_one_step(plan, labels, first_iter_min and i == 0)
+            changed = bool(changed)  # D2H sync closes the timing window
+            timer.stop(f"cdlp iteration {i}", labels)
+            it = i + 1
+            if not changed:
+                break
+        return labels, it
+
     labels, it = _cdlp_slab_kernel(plan, labels0, int(itermax), first_iter_min)
     return labels, it
