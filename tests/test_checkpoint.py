@@ -1,0 +1,43 @@
+"""Sharded partition checkpoint: save/load roundtrip + skip-if-exists."""
+
+import numpy as np
+import jax
+
+from graphtpu.parallel import ShardedGraph, make_mesh
+from graphtpu.parallel import checkpoint as ckpt
+from graphtpu.parallel.algorithms import pr_dist
+from graphtpu.utils.synth import uniform_graph
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    g = uniform_graph(2000, 16000, directed=True, seed=5)
+    mesh = make_mesh(len(jax.devices()))
+    sg = ShardedGraph(g, mesh, wdtype=np.float32)
+    ranks_before = pr_dist(sg, 0.85, 5)
+
+    assert not ckpt.exists(tmp_path, "u", sg.num_devices)
+    d = ckpt.save_pull(sg, tmp_path, "u")
+    assert ckpt.exists(tmp_path, "u", sg.num_devices)
+    assert (d / "shard-0.npz").exists()
+
+    # fresh ShardedGraph: load the partition instead of rebuilding
+    sg2 = ShardedGraph(g, mesh, wdtype=np.float32)
+    coo = ckpt.load_pull(sg2, tmp_path, "u")
+    assert coo is not None
+    np.testing.assert_array_equal(np.asarray(coo.src), np.asarray(sg.pull().src))
+    np.testing.assert_array_equal(
+        np.asarray(coo.dst_local), np.asarray(sg.pull().dst_local)
+    )
+    ranks_after = pr_dist(sg2, 0.85, 5)
+    np.testing.assert_allclose(ranks_after, ranks_before, rtol=1e-6)
+
+
+def test_checkpoint_incompatible_rejected(tmp_path):
+    g = uniform_graph(1000, 4000, directed=True, seed=6)
+    mesh = make_mesh(len(jax.devices()))
+    sg = ShardedGraph(g, mesh)
+    ckpt.save_pull(sg, tmp_path, "v")
+
+    g2 = uniform_graph(1500, 4000, directed=True, seed=6)  # different n
+    sg2 = ShardedGraph(g2, mesh)
+    assert ckpt.load_pull(sg2, tmp_path, "v") is None
