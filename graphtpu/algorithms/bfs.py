@@ -31,6 +31,7 @@ from graphtpu.utils.config import AlgorithmParams, PlatformConfig
 def _bfs_kernel(edges_src, edges_dst, indptr, source, n, impl="scan"):
     """edges sorted by dst (pull orientation). Returns int32 levels with
     INT32_INF for unreachable vertices."""
+    from graphtpu.ops.gather import table_gather
     from graphtpu.ops.spmv import pull_reduce
 
     levels0 = jnp.full((n,), INT32_INF, dtype=jnp.int32).at[source].set(0)
@@ -43,7 +44,7 @@ def _bfs_kernel(edges_src, edges_dst, indptr, source, n, impl="scan"):
     def body(state):
         level, levels, frontier, _ = state
         reached = pull_reduce(
-            "max", frontier[edges_src], edges_dst, indptr, n, jnp.int32(0), impl
+            "max", table_gather(frontier, edges_src), edges_dst, indptr, n, jnp.int32(0), impl
         )
         new_frontier = jnp.where(levels == INT32_INF, reached, 0)
         levels = jnp.where(new_frontier == 1, level + 1, levels)

@@ -85,7 +85,9 @@ def _cdlp_sort_kernel(centers, neigh, deg, n, itermax):
 
     def body(state):
         labels, _, it = state
-        lab = labels[neigh]
+        from graphtpu.ops.gather import table_gather
+
+        lab = table_gather(labels, neigh)
         c_s, l_s = jax.lax.sort((centers, lab), num_keys=2)
         counts = _run_extents(c_s, l_s)
         max_count = jax.ops.segment_max(

@@ -29,6 +29,7 @@ from graphtpu.utils.config import AlgorithmParams, PlatformConfig
 
 @partial(jax.jit, static_argnames=("n", "impl"))
 def _sssp_kernel(edges_src, edges_dst, indptr, edges_w, source, n, impl="scan"):
+    from graphtpu.ops.gather import table_gather
     from graphtpu.ops.spmv import pull_reduce
 
     dtype = edges_w.dtype
@@ -42,7 +43,7 @@ def _sssp_kernel(edges_src, edges_dst, indptr, edges_w, source, n, impl="scan"):
     def body(state):
         dist, _, it = state
         relaxed = pull_reduce(
-            "min", dist[edges_src] + edges_w, edges_dst, indptr, n, inf, impl
+            "min", table_gather(dist, edges_src) + edges_w, edges_dst, indptr, n, inf, impl
         )
         new = jnp.minimum(dist, relaxed)
         changed = jnp.any(new < dist)

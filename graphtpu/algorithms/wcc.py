@@ -33,6 +33,7 @@ from graphtpu.utils.config import AlgorithmParams, PlatformConfig
 
 @partial(jax.jit, static_argnames=("n", "impl"))
 def _wcc_kernel(edges_src, edges_dst, indptr, n, impl="scan"):
+    from graphtpu.ops.gather import table_gather
     from graphtpu.ops.spmv import pull_reduce
 
     labels0 = jnp.arange(n, dtype=jnp.int32)
@@ -44,7 +45,7 @@ def _wcc_kernel(edges_src, edges_dst, indptr, n, impl="scan"):
     def body(state):
         labels, _, it = state
         neigh_min = pull_reduce(
-            "min", labels[edges_src], edges_dst, indptr, n, INT32_INF, impl
+            "min", table_gather(labels, edges_src), edges_dst, indptr, n, INT32_INF, impl
         )
         new = jnp.minimum(labels, neigh_min)
         # pointer jumping: representative chains compress to their minimum

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from graphtpu.core.types import INT32_INF
+from graphtpu.ops.gather import table_gather
 from graphtpu.ops.slab import DEFAULT_BUCKETS, SlabPlan, assemble, build_slab_plan  # noqa: F401
 
 _M31 = (1 << 31) - 1
@@ -47,7 +48,7 @@ _M31 = (1 << 31) - 1
 
 def _slab_minmode(labels: jax.Array, slab: jax.Array) -> jax.Array:
     """Per-row smallest-most-frequent label over a padded slab [R, W]."""
-    lab = jnp.where(slab >= 0, labels[jnp.maximum(slab, 0)], INT32_INF)
+    lab = jnp.where(slab >= 0, table_gather(labels, jnp.maximum(slab, 0)), INT32_INF)
     return _rowwise_minmode(lab)
 
 
@@ -75,7 +76,7 @@ def _heavy_minmode(labels, plan: SlabPlan):
     packed prefix scans (segment boundaries are static)."""
     centers = plan.heavy_centers          # static, ascending, int32
     indptr = plan.heavy_indptr            # static [H+1]
-    lab = labels[plan.heavy_neigh]
+    lab = table_gather(labels, plan.heavy_neigh)
     c_s, l_s = jax.lax.sort((centers, lab), num_keys=2)  # c_s == centers
     m = l_s.shape[0]
     idx = jnp.arange(m, dtype=jnp.int32)

@@ -101,16 +101,18 @@ def slab_spmv(
 
     from graphtpu.ops.slab import assemble
 
+    from graphtpu.ops.gather import table_gather
+
     parts = []
     for bucket in plan.slabs:
-        xv = x[jnp.maximum(bucket.slab, 0)]
+        xv = table_gather(x, jnp.maximum(bucket.slab, 0))
         w = bucket.values if bucket.values is not None else None
         terms = semiring.mul(w, xv) if w is not None else xv
         terms = jnp.where(bucket.slab >= 0, terms, ident)
         parts.append(rfn(terms))
     heavy = None
     if plan.heavy_rows is not None:
-        hx = x[plan.heavy_neigh]
+        hx = table_gather(x, plan.heavy_neigh)
         terms = (
             semiring.mul(plan.heavy_values, hx)
             if plan.heavy_values is not None
