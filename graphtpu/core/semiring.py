@@ -87,6 +87,14 @@ def _land(e, x):
     return e * x
 
 
+def _secondi(e, x):
+    """secondi: the *index* of the second operand (the source-vertex id in
+    a pull SpMV). Callers pass the index array as x; used for BFS-parent
+    style products (GxB_ANY_SECONDI in SuiteSparse terms, with the ANY
+    monoid made deterministic as MIN)."""
+    return x
+
+
 # The semirings Graphalytics needs (SURVEY.md §7 core/):
 MIN_SECOND = Semiring("min.second", MIN, _second)   # CDLP label propagation
 MIN_PLUS = Semiring("min.plus", MIN, _plus)         # SSSP relaxation
@@ -95,6 +103,14 @@ PLUS_TIMES = Semiring("plus.times", PLUS, _times)   # classic SpMV / counting
 LOR_LAND = Semiring("lor.land", LOR, _land)         # BFS reachability
 MIN_FIRST = Semiring("min.first", MIN, _first)
 MAX_SECOND = Semiring("max.second", MAX, _second)
+# deterministic ANY: smallest matching index wins (BFS parents)
+ANY_SECONDI = Semiring("any.secondi", MIN, _secondi)
+def _pair(e, x):
+    """pair: 1 for every structurally present operand (triangle counting)."""
+    return jnp.ones_like(x)
+
+
+PLUS_PAIR = Semiring("plus.pair", PLUS, _pair)
 
 BY_NAME = {
     s.name: s
@@ -106,5 +122,7 @@ BY_NAME = {
         LOR_LAND,
         MIN_FIRST,
         MAX_SECOND,
+        ANY_SECONDI,
+        PLUS_PAIR,
     ]
 }

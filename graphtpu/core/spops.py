@@ -67,6 +67,33 @@ def masked_fill(updated: jax.Array, mask: jax.Array, old: jax.Array) -> jax.Arra
     return jnp.where(mask, updated, old)
 
 
+def assign(vec: jax.Array, idx: jax.Array, vals, mask: jax.Array = None) -> jax.Array:
+    """GrB_Vector_assign: vec[idx] = vals (optionally under a mask aligned
+    with idx). `vals` may be a scalar or an array matching idx."""
+    if mask is not None:
+        old = vec[idx]
+        vals = jnp.where(mask, vals, old)
+    return vec.at[idx].set(vals)
+
+
+def extract(vec: jax.Array, idx: jax.Array) -> jax.Array:
+    """GrB_Vector_extract: vec[idx] through the fast table gather."""
+    from graphtpu.ops.gather import table_gather
+
+    return table_gather(vec, idx)
+
+
+def reduce_vector(monoid: Monoid, vec: jax.Array) -> jax.Array:
+    """GrB_Vector_reduce: fold the whole vector under a monoid."""
+    reduce_fns = {
+        "plus": jnp.sum,
+        "min": jnp.min,
+        "max": jnp.max,
+        "lor": jnp.max,
+    }
+    return reduce_fns[monoid.name](vec)
+
+
 @partial(jax.jit, static_argnames=("num_segments",))
 def degrees(edges_key: jax.Array, num_segments: int) -> jax.Array:
     """Per-vertex edge counts (sorted or unsorted keys)."""
