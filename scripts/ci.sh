@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# CI pipeline — the analogue of the reference's scripts/init.sh +
+# .circleci/config.yml (install, build, full validated benchmark run).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== build native ingest library =="
+make -C native
+
+echo "== unit + golden-file + distributed tests (8-device CPU mesh) =="
+python -m pytest tests/ -q
+
+echo "== end-to-end benchmark suite on the example datasets =="
+workdir=$(mktemp -d)
+repo=$(pwd)
+(cd "$workdir" && PYTHONPATH="$repo:${PYTHONPATH:-}" python -m graphtpu.cli benchmark \
+  --config "$repo/config-template/benchmark.properties" \
+  --intermediate-dir "$workdir/intermediate")
+
+echo "== driver entry points =="
+XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+  python -c "import __graft_entry__ as g; g.dryrun_multichip(8); print('dryrun ok')"
+
+echo "CI PASSED"
