@@ -28,12 +28,51 @@ _BIAS = 1 << 31
 _M32 = (1 << 32) - 1
 
 
+# within-block prefix length for the two-level cumsum (f32 inside blocks,
+# f64 across block offsets): f64 scans are ~20x slower than f32 on v5e,
+# but a raw f32 prefix over 10^8 elements loses too much precision for
+# the end-difference trick. 2^16-element blocks bound the f32 error.
+_BLOCK = 1 << 16
+
+
 def seg_sum_scan(values: jax.Array, indptr: jax.Array, acc_dtype=jnp.float64) -> jax.Array:
-    """Per-segment sums via prefix sum. `acc_dtype` controls accumulation
-    precision (f64 recommended: the end-difference amplifies prefix error)."""
-    c = jnp.cumsum(values.astype(acc_dtype))
-    c = jnp.concatenate([jnp.zeros((1,), acc_dtype), c])
-    return (c[indptr[1:]] - c[indptr[:-1]]).astype(values.dtype)
+    """Per-segment sums via prefix sum with two-level accumulation:
+    f32 prefix within 2^16-element blocks + f64 prefix over block totals.
+    The end-difference amplifies prefix error, so pure-f32 over long
+    streams is unsafe and pure-f64 is ~20x slower; the hybrid keeps the
+    error bounded by one block's accumulation."""
+    m = values.shape[0]
+    if values.dtype == jnp.float64 or m <= _BLOCK:
+        c = jnp.cumsum(values.astype(acc_dtype))
+        c = jnp.concatenate([jnp.zeros((1,), acc_dtype), c])
+        return (c[indptr[1:]] - c[indptr[:-1]]).astype(values.dtype)
+
+    pad = (-m) % _BLOCK
+    v = jnp.concatenate([values, jnp.zeros((pad,), values.dtype)]) if pad else values
+    blocks = v.reshape(-1, _BLOCK)
+    within = jnp.cumsum(blocks, axis=1)                      # f32, fast
+    block_tot = within[:, -1].astype(acc_dtype)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), acc_dtype), jnp.cumsum(block_tot)]
+    )  # [B+1] f64, tiny
+
+    def prefix_at(pos):
+        # exclusive prefix at position pos in [0, m]
+        b = pos >> 16
+        r = pos & (_BLOCK - 1)
+        # within-block exclusive prefix: within[b, r-1], 0 when r == 0
+        wb = jnp.where(
+            r > 0,
+            within[jnp.minimum(b, blocks.shape[0] - 1), jnp.maximum(r - 1, 0)],
+            jnp.zeros((), values.dtype),
+        )
+        # pos == multiple of block: offsets[b] already includes all prior
+        full = offsets[jnp.minimum(b, blocks.shape[0])]
+        return full + wb.astype(acc_dtype)
+
+    hi = prefix_at(indptr[1:])
+    lo = prefix_at(indptr[:-1])
+    return (hi - lo).astype(values.dtype)
 
 
 def _pack_order_i64(values: jax.Array, descending: bool) -> jax.Array:

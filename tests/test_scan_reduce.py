@@ -60,6 +60,23 @@ def test_seg_min_with_inf():
     np.testing.assert_array_equal(got, [3.0, np.inf, -np.inf, np.inf])
 
 
+def test_seg_sum_long_stream_precision():
+    """The two-level (f32 block / f64 offset) cumsum must keep segment sums
+    accurate over streams far longer than one block."""
+    n, m = 500, 1 << 20
+    ids, indptr = _random_segments(n, m, 3)
+    vals = jnp.asarray(
+        (np.random.default_rng(3).random(m) * 2 - 0.5).astype(np.float32)
+    )
+    got = np.asarray(seg_sum_scan(vals, indptr))
+    want = np.asarray(
+        jax.ops.segment_sum(
+            vals.astype(jnp.float64), ids, num_segments=n, indices_are_sorted=True
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+
+
 def test_empty_segments_get_identity():
     ids = jnp.asarray(np.array([1, 1, 3], dtype=np.int32))
     indptr = jnp.asarray(np.array([0, 0, 2, 2, 3], dtype=np.int32))
