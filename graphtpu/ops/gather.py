@@ -55,12 +55,15 @@ def table_gather(x: jax.Array, idx: jax.Array) -> jax.Array:
 
     total = idx.size
     if total <= _CHUNK_THRESHOLD:
-        return _gather_block(x2d, idx, x.dtype)
+        # flatten: gathers on >=2-D index arrays with small minor dims hit
+        # lane-padded tiles; the flat form fuses cleanly
+        return _gather_block(x2d, idx.reshape(-1), x.dtype).reshape(idx.shape)
 
+    # statically unrolled chunks (lax.map's while-loop blocks fusion and
+    # was measured 3-5x slower than the fused direct gather)
     flat = idx.reshape(-1)
-    pad = (-total) % _CHUNK
-    if pad:
-        flat = jnp.concatenate([flat, jnp.zeros((pad,), dtype=flat.dtype)])
-    blocks = flat.reshape(-1, _CHUNK)
-    out = jax.lax.map(lambda ii: _gather_block(x2d, ii, x.dtype), blocks)
-    return out.reshape(-1)[:total].reshape(idx.shape)
+    outs = []
+    for start in range(0, total, _CHUNK):
+        end = min(start + _CHUNK, total)
+        outs.append(_gather_block(x2d, flat[start:end], x.dtype))
+    return jnp.concatenate(outs).reshape(idx.shape)

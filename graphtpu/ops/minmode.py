@@ -47,33 +47,41 @@ _M31 = (1 << 31) - 1
 
 
 def _slab_minmode(labels: jax.Array, slab: jax.Array) -> jax.Array:
-    """Per-row smallest-most-frequent label over a padded slab [R, W]."""
+    """Per-row smallest-most-frequent label over a transposed slab [W, R]."""
     lab = jnp.where(slab >= 0, table_gather(labels, jnp.maximum(slab, 0)), INT32_INF)
     return _rowwise_minmode(lab)
 
 
 def _rowwise_minmode(lab: jax.Array) -> jax.Array:
-    """Min-mode along axis 1; INT32_INF entries are padding."""
-    s = jnp.sort(lab, axis=1)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    is_start = jnp.concatenate(
-        [jnp.ones((s.shape[0], 1), dtype=bool), s[:, 1:] != s[:, :-1]], axis=1
-    )
-    is_last = jnp.concatenate(
-        [s[:, 1:] != s[:, :-1], jnp.ones((s.shape[0], 1), dtype=bool)], axis=1
-    )
-    run_start = jax.lax.cummax(jnp.where(is_start, col, -1), axis=1)
+    """Min-mode along axis 0 of a [W, R] slab (rows on the lane axis, so
+    every step vectorizes across R); INT32_INF entries are padding."""
+    s = jnp.sort(lab, axis=0)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    ones = jnp.ones((1, s.shape[1]), dtype=bool)
+    diff = s[1:, :] != s[:-1, :]
+    is_start = jnp.concatenate([ones, diff], axis=0)
+    is_last = jnp.concatenate([diff, ones], axis=0)
+    run_start = jax.lax.cummax(jnp.where(is_start, col, -1), axis=0)
     run_len = col - run_start + 1
     valid_run = is_last & (s != INT32_INF)
     counts = jnp.where(valid_run, run_len, 0)
-    max_count = jnp.max(counts, axis=1, keepdims=True)
+    max_count = jnp.max(counts, axis=0, keepdims=True)
     cand = jnp.where(valid_run & (counts == max_count), s, INT32_INF)
-    return jnp.min(cand, axis=1)
+    return jnp.min(cand, axis=0)
 
 
-def _heavy_minmode(labels, plan: SlabPlan):
+def _bits(v: int) -> int:
+    return max(int(v).bit_length(), 1)
+
+
+def _heavy_minmode(labels, plan: SlabPlan, n: int):
     """Min-mode over the heavy-tail incidence stream via pair sort +
-    packed prefix scans (segment boundaries are static)."""
+    packed prefix scans (segment boundaries are static).
+
+    Fast path: when (center, count, ~label) fits one int64 key, a single
+    forward cummax selects the (max count, min label) winner per segment
+    directly; otherwise fall back to the fwd+bwd max-count pass + winner
+    pass."""
     centers = plan.heavy_centers          # static, ascending, int32
     indptr = plan.heavy_indptr            # static [H+1]
     lab = table_gather(labels, plan.heavy_neigh)
@@ -89,13 +97,28 @@ def _heavy_minmode(labels, plan: SlabPlan):
     run_start = jax.lax.cummax(jnp.where(is_start, idx, -1))
     count = idx - run_start + 1            # run length, valid at is_last
 
+    num_heavy = indptr.shape[0] - 1
+    ends = jnp.maximum(indptr[1:] - 1, 0)
     c64 = c_s.astype(jnp.int64)
-    # phase A: per-position max run count within the segment (fwd+bwd
-    # packed cummax — center in the high bits makes the scan reset at
-    # segment boundaries)
+
+    hb, cb, lb = _bits(num_heavy), _bits(m), _bits(n)
+    if hb + cb + lb <= 63:
+        # one-scan winner: key = center | count | inverted label
+        lmask = (1 << lb) - 1
+        pk = jnp.where(
+            is_last,
+            (c64 << (cb + lb))
+            | (count.astype(jnp.int64) << lb)
+            | (lmask - l_s.astype(jnp.int64)),
+            c64 << (cb + lb),
+        )
+        wins = jax.lax.cummax(pk)
+        return (lmask - (wins[ends] & lmask)).astype(jnp.int32)
+
+    # fallback: fwd+bwd max-count, then winner pass (96-bit logical key)
     pk = jnp.where(is_last, (c64 << 31) | count.astype(jnp.int64), c64 << 31)
     fwd = jax.lax.cummax(pk)
-    h = indptr.shape[0] - 1
+    h = num_heavy
     c_flip = ((h - 1) - c64)[::-1]      # ascending along the reversed stream
     pk_rev = jnp.where(
         is_last[::-1],
@@ -105,7 +128,6 @@ def _heavy_minmode(labels, plan: SlabPlan):
     bwd = jax.lax.cummax(pk_rev)[::-1]
     maxc = jnp.maximum(fwd & _M31, bwd & _M31).astype(jnp.int32)
 
-    # phase B: smallest label among max-count runs
     eligible = is_last & (count == maxc) & (l_s != INT32_INF)
     pkb = jnp.where(
         eligible,
@@ -113,7 +135,6 @@ def _heavy_minmode(labels, plan: SlabPlan):
         c64 << 31,
     )
     wins = jax.lax.cummax(pkb)
-    ends = jnp.maximum(indptr[1:] - 1, 0)
     return (_M31 - (wins[ends] & _M31)).astype(jnp.int32)
 
 
@@ -121,7 +142,7 @@ def _iter0_minmode(plan: SlabPlan, labels0: jax.Array) -> jax.Array:
     """Iteration 0 on duplicate-free incidence: every neighbor label is
     distinct, so the min-mode is the minimum neighbor id — no gather."""
     parts = [
-        jnp.min(jnp.where(b.slab >= 0, b.slab, INT32_INF), axis=1) for b in plan.slabs
+        jnp.min(jnp.where(b.slab >= 0, b.slab, INT32_INF), axis=0) for b in plan.slabs
     ]
     heavy = None
     if plan.heavy_rows is not None:
@@ -137,7 +158,11 @@ def _iter0_minmode(plan: SlabPlan, labels0: jax.Array) -> jax.Array:
 def cdlp_step(labels: jax.Array, plan: SlabPlan) -> jax.Array:
     """One synchronous CDLP iteration: new labels for every vertex."""
     parts = [_slab_minmode(labels, b.slab) for b in plan.slabs]
-    heavy = _heavy_minmode(labels, plan) if plan.heavy_rows is not None else None
+    heavy = (
+        _heavy_minmode(labels, plan, labels.shape[0])
+        if plan.heavy_rows is not None
+        else None
+    )
     rest = labels[plan.rest_rows] if plan.rest_rows is not None else None
     return assemble(plan, parts, heavy, rest)
 

@@ -25,9 +25,14 @@ DEFAULT_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 
 
 class SlabBucket(NamedTuple):
+    """Slabs are stored TRANSPOSED, [W, R]: the (many) rows live on the
+    minor/lane axis so per-row sorts, scans, and reductions run along
+    sublanes fully vectorized across lanes. A [R, W] layout with W < 128
+    wastes 128/W of every vector tile."""
+
     rows: jax.Array           # [R] int32 — vertex ids of the bucket's rows
-    slab: jax.Array           # [R, W] int32 — neighbor ids, -1 = pad
-    values: Optional[jax.Array]  # [R, W] float — edge values aligned w/ slab
+    slab: jax.Array           # [W, R] int32 — neighbor ids, -1 = pad
+    values: Optional[jax.Array]  # [W, R] float — edge values aligned w/ slab
 
 
 class SlabPlan(NamedTuple):
@@ -82,8 +87,14 @@ def build_slab_plan(
         if values is not None:
             vslab = np.zeros((r, w), dtype=values.dtype)
             vslab[mask] = values[pos[mask]]
-            vslab = jnp.asarray(vslab)
-        slabs.append(SlabBucket(jnp.asarray(sel.astype(np.int32)), jnp.asarray(slab), vslab))
+            vslab = jnp.asarray(np.ascontiguousarray(vslab.T))
+        slabs.append(
+            SlabBucket(
+                jnp.asarray(sel.astype(np.int32)),
+                jnp.asarray(np.ascontiguousarray(slab.T)),
+                vslab,
+            )
+        )
         order_parts.append(sel)
 
     heavy_sel = np.nonzero(deg > buckets[-1])[0]

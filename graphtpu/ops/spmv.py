@@ -91,11 +91,12 @@ def slab_spmv(
     edges get the monoid identity."""
     dtype = x.dtype
     ident = semiring.add.identity(dtype)
+    # slabs are transposed [W, R]: reduce along axis 0
     reduce_fns = {
-        "plus": lambda t: jnp.sum(t, axis=1),
-        "min": lambda t: jnp.min(t, axis=1),
-        "max": lambda t: jnp.max(t, axis=1),
-        "lor": lambda t: jnp.max(t, axis=1),
+        "plus": lambda t: jnp.sum(t, axis=0, dtype=t.dtype),
+        "min": lambda t: jnp.min(t, axis=0),
+        "max": lambda t: jnp.max(t, axis=0),
+        "lor": lambda t: jnp.max(t, axis=0),
     }
     rfn = row_reduce or reduce_fns[semiring.add.name]
 

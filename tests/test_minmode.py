@@ -51,7 +51,7 @@ def test_slab_minmode_tie_break():
         np.array(
             [[3, 3, 5, 5, 1, -1], [7, -1, -1, -1, -1, -1], [-1, -1, -1, -1, -1, -1]],
             dtype=np.int32,
-        )
+        ).T  # slabs are stored transposed [W, R]
     )
     out = np.asarray(_slab_minmode(labels, slab))
     assert out[0] == 3
