@@ -29,11 +29,13 @@ _SHIFT = 3
 _MASK = _W - 1
 
 
-# Above this many indices the gather is evaluated in chunks under
-# `lax.map` so the [chunk, W] row-fetch intermediate stays bounded
-# (XLA materializes it for very large index streams, which OOMs HBM).
-_CHUNK_THRESHOLD = 1 << 23
-_CHUNK = 1 << 22
+# Above this many indices the gather is evaluated in statically-unrolled
+# chunks so a rematerialized [chunk, W] row-fetch intermediate stays
+# bounded (XLA's remat of the fused gather OOM'd at 60M+ indices).
+# Chunking costs ~3x on the chunks themselves (fusion boundaries), so the
+# threshold is set well above every per-bucket slab size.
+_CHUNK_THRESHOLD = 1 << 25
+_CHUNK = 1 << 24
 
 
 def _gather_block(x2d: jax.Array, idx: jax.Array, dtype) -> jax.Array:
