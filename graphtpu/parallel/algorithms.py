@@ -20,6 +20,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from graphtpu.core.types import INT32_INF
+from graphtpu.ops.gather import table_gather
 from graphtpu.parallel.mesh import ROWS_AXIS
 from graphtpu.parallel.partition import ShardedCOO, ShardedGraph, ShardedIncidence
 
@@ -31,7 +32,7 @@ def _spmv_block(segment_reduce, mul, identity):
     the local row block, then tiled all_gather back to a replicated vector."""
 
     def block(src, dst_local, w, valid, x, rows_per_dev):
-        terms = mul(w[0], x[src[0]])
+        terms = mul(w[0], table_gather(x, src[0]))
         terms = jnp.where(valid[0], terms, identity(terms.dtype))
         y = segment_reduce(
             terms, dst_local[0], num_segments=rows_per_dev, indices_are_sorted=True
@@ -228,7 +229,7 @@ def cdlp_dist_kernel(inc: ShardedIncidence, deg, mesh, rows_per_dev, n, itermax)
     def block(center_local, neigh, valid, labels):
         centers, neigh, valid = center_local[0], neigh[0], valid[0]
         my_block = jax.lax.axis_index(ROWS_AXIS) * rows_per_dev
-        lab = jnp.where(valid, labels[neigh], INT32_INF)
+        lab = jnp.where(valid, table_gather(labels, neigh), INT32_INF)
         c_s, l_s = jax.lax.sort((centers, lab), num_keys=2)
         counts = _run_extents(c_s, l_s)
         counts = jnp.where(l_s == INT32_INF, 0, counts)
