@@ -60,9 +60,13 @@ def main() -> None:
     cache_dir = os.environ.get("GRAPHTPU_BENCH_CACHE", "./intermediate")
     gname = f"bench-rmat-s{scale}-ef{edge_factor}"
     t0 = time.perf_counter()
+    g = None
     if cache_mod.exists(cache_dir, gname):
-        g = cache_mod.load(cache_dir, gname)
-    else:
+        try:
+            g = cache_mod.load(cache_dir, gname)
+        except ValueError:
+            g = None  # stale cache version — regenerate
+    if g is None:
         g = rmat_graph(scale, edge_factor, directed=False, seed=42)
         cache_mod.save(g, cache_dir, gname)
     gen_s = time.perf_counter() - t0

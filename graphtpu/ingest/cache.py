@@ -22,7 +22,7 @@ from graphtpu.utils.logging import get_logger
 
 log = get_logger("cache")
 
-CACHE_VERSION = 1
+CACHE_VERSION = 2
 
 
 def cache_path(intermediate_dir: str | os.PathLike, graph_name: str) -> Path:
@@ -32,19 +32,21 @@ def cache_path(intermediate_dir: str | os.PathLike, graph_name: str) -> Path:
 def save(graph: Graph, intermediate_dir: str | os.PathLike, graph_name: str) -> Path:
     path = cache_path(intermediate_dir, graph_name)
     path.parent.mkdir(parents=True, exist_ok=True)
-    # np.savez appends ".npz" unless the name already ends with it
+    # compressed + weights elided for unweighted graphs: the container
+    # filesystem reads ~10 MB/s, so cache bytes dominate reload time
     tmp = path.with_name("graph.tmp.npz")
-    np.savez(
-        tmp,
+    arrays = dict(
         version=np.int64(CACHE_VERSION),
         n=np.int64(graph.n),
         directed=np.bool_(graph.directed),
         weighted=np.bool_(graph.weighted),
         src=graph.src,
         dst=graph.dst,
-        w=graph.w,
         mapping=graph.mapping,
     )
+    if graph.weighted:
+        arrays["w"] = graph.w
+    np.savez_compressed(tmp, **arrays)
     os.replace(tmp, path)
     meta = {
         "version": CACHE_VERSION,
@@ -67,11 +69,12 @@ def load(intermediate_dir: str | os.PathLike, graph_name: str) -> Graph:
     with np.load(path) as z:
         if int(z["version"]) != CACHE_VERSION:
             raise ValueError(f"{path}: cache version mismatch")
+        w = z["w"] if "w" in z.files else None
         g = Graph(
             int(z["n"]),
             z["src"],
             z["dst"],
-            z["w"],
+            w,
             z["mapping"],
             directed=bool(z["directed"]),
             weighted=bool(z["weighted"]),

@@ -31,8 +31,11 @@ def load_graph(
     """Load a graph, using the binary cache when possible."""
     cacheable = use_cache and graph_name is not None and intermediate_dir is not None
     if cacheable and cache_mod.exists(intermediate_dir, graph_name):
-        with ComputationTimer("Loading the graph from binary cache"):
-            return cache_mod.load(intermediate_dir, graph_name)
+        try:
+            with ComputationTimer("Loading the graph from binary cache"):
+                return cache_mod.load(intermediate_dir, graph_name)
+        except ValueError as e:  # stale cache version — rebuild
+            log.warning("cache rejected (%s); re-ingesting", e)
     with ComputationTimer("Loading the graph"):
         g = relabel(vertex_path, edge_path, directed, weighted)
     if cacheable:
