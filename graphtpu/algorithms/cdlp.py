@@ -93,7 +93,7 @@ def _cdlp_sort_kernel(centers, neigh, deg, n, itermax):
         max_count = jax.ops.segment_max(
             counts, c_s, num_segments=n, indices_are_sorted=True
         )
-        is_best = counts == max_count[c_s]
+        is_best = counts == table_gather(max_count, c_s)
         best_label = jax.ops.segment_min(
             jnp.where(is_best, l_s, INT32_INF),
             c_s,

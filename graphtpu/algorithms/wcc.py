@@ -49,8 +49,8 @@ def _wcc_kernel(edges_src, edges_dst, indptr, n, impl="scan"):
         )
         new = jnp.minimum(labels, neigh_min)
         # pointer jumping: representative chains compress to their minimum
-        new = jnp.minimum(new, new[new])
-        new = jnp.minimum(new, new[new])
+        new = jnp.minimum(new, table_gather(new, new))
+        new = jnp.minimum(new, table_gather(new, new))
         changed = jnp.any(new != labels)
         return new, changed, it + 1
 

@@ -56,7 +56,9 @@ def spmv(
     Pass push-ordered edges with src/dst swapped for the out-neighbor
     product.
     """
-    terms = semiring.mul(edges_w, x[edges_src])
+    from graphtpu.ops.gather import table_gather
+
+    terms = semiring.mul(edges_w, table_gather(x, edges_src))
     return segment_reduce(
         semiring.add, terms, edges_dst, num_segments, indices_are_sorted=sorted_by_dst
     )

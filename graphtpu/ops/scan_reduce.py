@@ -47,6 +47,8 @@ def seg_sum_scan(values: jax.Array, indptr: jax.Array, acc_dtype=jnp.float64) ->
         c = jnp.concatenate([jnp.zeros((1,), acc_dtype), c])
         return (c[indptr[1:]] - c[indptr[:-1]]).astype(values.dtype)
 
+    from graphtpu.ops.gather import table_gather
+
     pad = (-m) % _BLOCK
     v = jnp.concatenate([values, jnp.zeros((pad,), values.dtype)]) if pad else values
     blocks = v.reshape(-1, _BLOCK)
@@ -55,19 +57,21 @@ def seg_sum_scan(values: jax.Array, indptr: jax.Array, acc_dtype=jnp.float64) ->
     offsets = jnp.concatenate(
         [jnp.zeros((1,), acc_dtype), jnp.cumsum(block_tot)]
     )  # [B+1] f64, tiny
+    within_flat = within.reshape(-1)
 
     def prefix_at(pos):
-        # exclusive prefix at position pos in [0, m]
+        # exclusive prefix at position pos in [0, m]: offsets[pos >> 16] +
+        # within-block inclusive prefix at pos-1 (0 at block starts).
+        # NOTE: flat 1-D gathers only — a 2-D coordinate gather here
+        # scalarizes on TPU (measured ~400 ns/element).
         b = pos >> 16
         r = pos & (_BLOCK - 1)
-        # within-block exclusive prefix: within[b, r-1], 0 when r == 0
         wb = jnp.where(
             r > 0,
-            within[jnp.minimum(b, blocks.shape[0] - 1), jnp.maximum(r - 1, 0)],
+            table_gather(within_flat, jnp.maximum(pos - 1, 0)),
             jnp.zeros((), values.dtype),
         )
-        # pos == multiple of block: offsets[b] already includes all prior
-        full = offsets[jnp.minimum(b, blocks.shape[0])]
+        full = table_gather(offsets, jnp.minimum(b, blocks.shape[0]))
         return full + wb.astype(acc_dtype)
 
     hi = prefix_at(indptr[1:])
@@ -101,10 +105,12 @@ def _seg_extreme_scan(values, seg_ids, indptr, identity, descending):
     """Shared min/max implementation: cummax over (seg_id, packed value);
     the running max never leaks across segments because seg_id ascends."""
     packed = (seg_ids.astype(jnp.int64) << 32) | _pack_order_i64(values, descending)
+    from graphtpu.ops.gather import table_gather
+
     run = jax.lax.cummax(packed)
     ends = indptr[1:] - 1
     empty = indptr[1:] == indptr[:-1]
-    at_end = run[jnp.maximum(ends, 0)] & _M32
+    at_end = table_gather(run, jnp.maximum(ends, 0)) & _M32
     out = _unpack_order_i64(at_end, descending, values.dtype)
     return jnp.where(empty, identity, out)
 

@@ -139,12 +139,14 @@ def build_slab_plan(
 def assemble(plan: SlabPlan, bucket_results, heavy_result, rest_values) -> jax.Array:
     """Concatenate per-bucket results in plan order and apply the static
     inverse permutation — one gather instead of per-bucket scatters."""
+    from graphtpu.ops.gather import table_gather
+
     parts = list(bucket_results)
     if heavy_result is not None:
         parts.append(heavy_result)
     if rest_values is not None:
         parts.append(rest_values)
-    return jnp.concatenate(parts)[plan.inv_perm]
+    return table_gather(jnp.concatenate(parts), plan.inv_perm)
 
 
 jax.tree_util.register_pytree_node(
