@@ -36,11 +36,14 @@ _BLOCK = 1 << 16
 
 
 def seg_sum_scan(values: jax.Array, indptr: jax.Array, acc_dtype=jnp.float64) -> jax.Array:
-    """Per-segment sums via prefix sum with two-level accumulation:
-    f32 prefix within 2^16-element blocks + f64 prefix over block totals.
-    The end-difference amplifies prefix error, so pure-f32 over long
-    streams is unsafe and pure-f64 is ~20x slower; the hybrid keeps the
-    error bounded by one block's accumulation."""
+    """Per-segment sums via a two-level prefix sum.
+
+    XLA's stock cumsum lowering is pathological on TPU for long streams
+    (minutes of compile / ~8 ns/element at 60M). Instead: a hand-rolled
+    Hillis-Steele scan along 128 lanes (7 shift-adds, pure VPU work) gives
+    within-row prefixes, and a small f64 cumsum over the ~m/128 row totals
+    gives the inter-row offsets — also fixing the precision problem of a
+    raw f32 prefix feeding the end-difference trick."""
     m = values.shape[0]
     if values.dtype == jnp.float64 or m <= _BLOCK:
         c = jnp.cumsum(values.astype(acc_dtype))
@@ -49,29 +52,36 @@ def seg_sum_scan(values: jax.Array, indptr: jax.Array, acc_dtype=jnp.float64) ->
 
     from graphtpu.ops.gather import table_gather
 
-    pad = (-m) % _BLOCK
+    lanes = 128
+    pad = (-m) % lanes
     v = jnp.concatenate([values, jnp.zeros((pad,), values.dtype)]) if pad else values
-    blocks = v.reshape(-1, _BLOCK)
-    within = jnp.cumsum(blocks, axis=1)                      # f32, fast
-    block_tot = within[:, -1].astype(acc_dtype)
+    w = v.reshape(-1, lanes)
+    zrow = jnp.zeros((w.shape[0], 1), w.dtype)
+    shift = 1
+    while shift < lanes:
+        shifted = jnp.concatenate(
+            [jnp.zeros((w.shape[0], shift), w.dtype), w[:, :-shift]], axis=1
+        )
+        w = w + shifted
+        shift *= 2
+    del zrow
+    row_tot = w[:, -1].astype(acc_dtype)                 # [m/128]
     offsets = jnp.concatenate(
-        [jnp.zeros((1,), acc_dtype), jnp.cumsum(block_tot)]
-    )  # [B+1] f64, tiny
-    within_flat = within.reshape(-1)
+        [jnp.zeros((1,), acc_dtype), jnp.cumsum(row_tot)]
+    )
+    w_flat = w.reshape(-1)
 
     def prefix_at(pos):
-        # exclusive prefix at position pos in [0, m]: offsets[pos >> 16] +
-        # within-block inclusive prefix at pos-1 (0 at block starts).
-        # NOTE: flat 1-D gathers only — a 2-D coordinate gather here
-        # scalarizes on TPU (measured ~400 ns/element).
-        b = pos >> 16
-        r = pos & (_BLOCK - 1)
+        # exclusive prefix at pos ∈ [0, m]: inter-row offset + within-row
+        # inclusive prefix at pos-1 (0 at row starts). Flat 1-D gathers
+        # only — 2-D coordinate gathers scalarize on TPU.
+        r = pos & (lanes - 1)
         wb = jnp.where(
             r > 0,
-            table_gather(within_flat, jnp.maximum(pos - 1, 0)),
+            table_gather(w_flat, jnp.maximum(pos - 1, 0)),
             jnp.zeros((), values.dtype),
         )
-        full = table_gather(offsets, jnp.minimum(b, blocks.shape[0]))
+        full = table_gather(offsets, pos >> 7)
         return full + wb.astype(acc_dtype)
 
     hi = prefix_at(indptr[1:])
