@@ -35,7 +35,7 @@ _MASK = _W - 1
 # Chunking costs ~3x on the chunks themselves (fusion boundaries), so the
 # threshold is set well above every per-bucket slab size.
 _CHUNK_THRESHOLD = 1 << 25
-_CHUNK = 1 << 24
+_CHUNK = 1 << 22  # swept: 4M chunks run ~2x faster than 16M ones at 60M+ indices
 
 
 def _gather_block(x2d: jax.Array, idx: jax.Array, dtype) -> jax.Array:
