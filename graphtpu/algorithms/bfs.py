@@ -11,11 +11,19 @@ part c). One iteration is a lor.land SpMV: next[v] = OR over in-edges of
 frontier[u], then masked level assignment. The loop is a
 `jax.lax.while_loop` whose condition checks frontier emptiness, giving
 the same early exit as the reference's sparse frontier.
+
+Hybrid mode (default): the dense step pays the full-edge gather every
+level, which on power-law graphs wastes most of its work on the first
+and last levels where the frontier touches few edges. The hybrid driver
+(the TPU counterpart of push/pull direction-optimizing BFS) runs dense
+device steps only for heavy levels and expands sparse frontiers on the
+host over the push CSR — total work ~O(nnz) instead of O(nnz × levels).
 """
 
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -57,16 +65,93 @@ def _bfs_kernel(edges_src, edges_dst, indptr, source, n, impl="scan"):
     return levels, level
 
 
+@partial(jax.jit, static_argnames=("n", "impl"))
+def _bfs_dense_step(levels, frontier, level, edges_src, edges_dst, indptr, n, impl="scan"):
+    """One dense level expansion (pull orientation); returns the updated
+    levels and the new frontier mask."""
+    from graphtpu.ops.gather import table_gather
+    from graphtpu.ops.spmv import pull_reduce
+
+    reached = pull_reduce(
+        "max", table_gather(frontier, edges_src), edges_dst, indptr, n, jnp.int32(0), impl
+    )
+    new_frontier = jnp.where(levels == INT32_INF, reached, 0)
+    levels = jnp.where(new_frontier == 1, level + 1, levels)
+    return levels, new_frontier
+
+
+def bfs_hybrid_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig] = None):
+    """Direction-optimizing hybrid: sparse frontiers expand on the host
+    over the push CSR (out-edges — the correct direction for directed
+    graphs); frontiers touching more than `bfs_active_threshold` of the
+    edges run the dense pull step on device. Returns (levels int32 np
+    array with INT32_INF unreachable, iterations)."""
+    n, m = graph.n, graph.nnz
+    indptr_h = graph.indptr          # push CSR (out-edge) row pointers
+    dst_h = graph.dst
+    threshold = getattr(cfg, "bfs_active_threshold", None) or 0.05
+    tau = threshold * max(m, 1)
+
+    levels = np.full(n, INT32_INF, dtype=np.int32)
+    levels[src_dense] = 0
+    frontier = np.array([src_dense], dtype=np.int64)
+    level = 0
+    while frontier.size:
+        fe = int((indptr_h[frontier + 1] - indptr_h[frontier]).sum())
+        if fe <= tau:
+            # host expansion over out-edges of the frontier
+            lens = indptr_h[frontier + 1] - indptr_h[frontier]
+            offs = np.zeros(frontier.shape[0], dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            pos = (
+                np.arange(fe, dtype=np.int64)
+                - np.repeat(offs, lens)
+                + np.repeat(indptr_h[frontier], lens)
+            )
+            cand = dst_h[pos]
+            cand = cand[levels[cand] == INT32_INF]
+            frontier = np.unique(cand)
+            levels[frontier] = level + 1
+            level += 1
+        else:
+            # dense device steps while the frontier stays heavy
+            coo = graph.device_pull()
+            pull_indptr = jnp.asarray(graph.pull_indptr.astype(np.int32))
+            levels_d = jnp.asarray(levels)
+            f_mask = np.zeros(n, dtype=np.int32)
+            f_mask[frontier] = 1
+            frontier_d = jnp.asarray(f_mask)
+            impl = getattr(cfg, "spmv_impl", "scan") or "scan"
+            while True:
+                levels_d, frontier_d = _bfs_dense_step(
+                    levels_d, frontier_d, jnp.int32(level), coo.src, coo.dst,
+                    pull_indptr, n, impl,
+                )
+                level += 1
+                frontier = np.nonzero(np.asarray(frontier_d))[0]
+                if frontier.size == 0:
+                    break
+                fe = int((indptr_h[frontier + 1] - indptr_h[frontier]).sum())
+                if fe <= tau:
+                    break
+            levels = np.array(levels_d)
+    return levels, level
+
+
 @register("bfs")
 def bfs(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> AlgorithmResult:
     if params.source_vertex is None:
         raise ValueError("bfs requires source-vertex")
     src_dense = graph.dense_source(params.source_vertex)
-    coo = graph.device_pull()
-    indptr = jnp.asarray(graph.pull_indptr.astype(np.int32))
-    levels, niter = _bfs_kernel(
-        coo.src, coo.dst, indptr, jnp.int32(src_dense), graph.n, cfg.spmv_impl
-    )
-    levels = np.asarray(levels).astype(np.int64)
+    if getattr(cfg, "bfs_impl", "auto") in ("auto", "hybrid"):
+        levels, niter = bfs_hybrid_run(graph, src_dense, cfg)
+        levels = levels.astype(np.int64)
+    else:
+        coo = graph.device_pull()
+        indptr = jnp.asarray(graph.pull_indptr.astype(np.int32))
+        levels, niter = _bfs_kernel(
+            coo.src, coo.dst, indptr, jnp.int32(src_dense), graph.n, cfg.spmv_impl
+        )
+        levels = np.asarray(levels).astype(np.int64)
     levels[levels == INT32_INF] = UNREACHABLE
     return AlgorithmResult("bfs", levels, iterations=int(niter))

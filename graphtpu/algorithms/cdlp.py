@@ -118,15 +118,22 @@ def cdlp(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> Algorith
     deg = np.bincount(centers, minlength=graph.n).astype(np.int32)
 
     impl = cfg.cdlp_impl
-    if impl in ("auto", "slab"):
-        try:
-            from graphtpu.ops.minmode import cdlp_slab_run
+    if impl in ("auto", "adaptive"):
+        # convergence-adaptive: full slab steps while labels churn, then
+        # compacted active-set steps (graphtpu/ops/active.py) — the
+        # runtime analogue of the CUDA fork's iteration-indexed kernel
+        # switch (cdlp_kernel.cu:1238-1243)
+        from graphtpu.ops.active import cdlp_adaptive_run
 
-            labels, it = cdlp_slab_run(
-                graph, centers, neigh, deg, int(params.max_iterations), cfg
-            )
-        except ImportError:
-            impl = "sort"
+        labels, it = cdlp_adaptive_run(
+            graph, centers, neigh, deg, int(params.max_iterations), cfg
+        )
+    elif impl == "slab":
+        from graphtpu.ops.minmode import cdlp_slab_run
+
+        labels, it = cdlp_slab_run(
+            graph, centers, neigh, deg, int(params.max_iterations), cfg
+        )
     if impl == "sort":
         labels, it = _cdlp_sort_kernel(
             jnp.asarray(centers),

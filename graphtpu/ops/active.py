@@ -1,0 +1,178 @@
+"""Convergence-adaptive CDLP execution — active-set steps once the label
+propagation has mostly settled.
+
+Measured on RMAT s20/ef32 (60.7M stored edges, 1× v5e): synchronous
+min-mode CDLP effectively converges by iteration 3 — from then on only a
+few hundred vertices keep flipping (pendant/isolated-edge 2-cycles whose
+labels swap forever, so the exact fixed-point exit of
+LAGraph_cdlp.c:328-332 never fires) — yet the static while_loop kernel
+pays the full ~360 ms slab step for every remaining iteration up to
+itermax.
+
+This driver is the TPU analogue of the CUDA fork's runtime kernel
+switching (cdlp_kernel.cu:1238-1243 switches kernels at iteration 4), but
+keyed on the measured active fraction instead of the iteration number:
+
+* full-graph slab steps (graphtpu/ops/minmode.py) while many vertices are
+  changing;
+* once the rows adjacent to a changed vertex cover less than
+  `cdlp_active_threshold` of the incidence, compacted active-set steps:
+  the host slices the incidence at just the active rows, pads to
+  power-of-two shapes (bounding the jit-compile count), and one
+  sort+scan stream kernel (stream_minmode) updates only those rows.
+
+Correctness: with synchronous updates a row's label can change at
+iteration t+1 only if one of its incidence neighbors changed at t; the
+incidence structure is symmetric (both directions are included for
+directed graphs, LAGraph_cdlp.c:47-50, so u lists v iff v lists u), hence
+the next active set is exactly the union of the changed vertices'
+incidence lists. Rows outside it provably keep their label.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graphtpu.ops.gather import table_gather
+from graphtpu.ops.minmode import (
+    DEFAULT_BUCKETS,
+    _cdlp_one_step,
+    build_slab_plan,
+    stream_minmode,
+)
+
+# power-of-two padding floors: every tail iteration (hundreds of active
+# rows) lands on one (m_pad, h_pad) shape, so the whole adaptive run
+# compiles only a handful of _active_step variants.
+_M_FLOOR = 1 << 12
+_H_FLOOR = 1 << 10
+
+DEFAULT_ACTIVE_THRESHOLD = 0.10
+
+
+def _pow2_at_least(x: int, floor: int) -> int:
+    return max(floor, 1 << max(0, int(x - 1).bit_length()))
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _active_step(labels, rows, centers, neigh, indptr, n):
+    """One synchronous CDLP iteration restricted to `rows` (padded with n).
+
+    Returns (new full label vector, per-row changed flags, per-row new
+    labels). Padded rows scatter to index n and are dropped.
+    """
+    winners = stream_minmode(labels, centers, neigh, indptr, n)
+    valid = rows < n
+    old = table_gather(labels, jnp.where(valid, rows, 0))
+    scatter_idx = jnp.where(valid, rows, jnp.int32(n))
+    new_labels = labels.at[scatter_idx].set(
+        jnp.where(valid, winners, 0), mode="drop"
+    )
+    changed = valid & (winners != old)
+    return new_labels, changed, winners
+
+
+def _slice_incidence(ids: np.ndarray, deg: np.ndarray, indptr: np.ndarray):
+    """Concatenated incidence positions for the given center ids: one
+    np.repeat-based expansion, O(total edges of ids)."""
+    lens = deg[ids]
+    m = int(lens.sum())
+    if m == 0:
+        return np.empty(0, dtype=np.int64), lens, m
+    offs = np.zeros(ids.shape[0], dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    pos = (
+        np.arange(m, dtype=np.int64)
+        - np.repeat(offs, lens)
+        + np.repeat(indptr[ids], lens)
+    )
+    return pos, lens, m
+
+
+def cdlp_adaptive_run(graph, centers, neigh, deg, itermax, cfg=None):
+    """Entry point used by graphtpu/algorithms/cdlp.py. Returns (labels, it)
+    with semantics identical to the full slab while_loop kernel
+    (graphtpu/ops/minmode.py _cdlp_slab_kernel)."""
+    n = graph.n
+    itermax = int(itermax)
+    deg = np.asarray(deg, dtype=np.int64)
+    centers = np.asarray(centers)
+    neigh = np.asarray(neigh)
+    m_total = int(centers.shape[0])
+    indptr_h = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=indptr_h[1:])
+
+    buckets = tuple(cfg.slab_buckets) if cfg and cfg.slab_buckets else DEFAULT_BUCKETS
+    plan = build_slab_plan(centers, neigh, deg, n, buckets)
+    threshold = getattr(cfg, "cdlp_active_threshold", None) or DEFAULT_ACTIVE_THRESHOLD
+    thresh_edges = threshold * max(m_total, 1)
+    first_iter_min = not graph.directed
+
+    timer = None
+    if cfg is not None and getattr(cfg, "iteration_timing", False):
+        from graphtpu.utils.timers import IterationTimer
+
+        timer = IterationTimer()
+
+    labels = jnp.arange(n, dtype=jnp.int32)
+    prev = np.arange(n, dtype=np.int32)
+    act_rows: np.ndarray | None = None  # rows for the next iteration; None = full step
+    it = 0
+    for i in range(itermax):
+        if timer:
+            timer.start()
+        if act_rows is None:
+            labels, _ = _cdlp_one_step(plan, labels, first_iter_min and i == 0)
+            cur = np.array(labels)  # writable copy (asarray views are read-only)
+            changed_ids = np.nonzero(cur != prev)[0]
+            prev = cur
+        else:
+            h = int(act_rows.shape[0])
+            pos, lens, m = _slice_incidence(act_rows, deg, indptr_h)
+            h_pad = _pow2_at_least(h + 1, _H_FLOOR)
+            m_pad = _pow2_at_least(max(m, 1), _M_FLOOR)
+            cA = np.full(m_pad, h_pad - 1, dtype=np.int32)
+            cA[:m] = np.repeat(np.arange(h, dtype=np.int32), lens)
+            nA = np.zeros(m_pad, dtype=np.int32)
+            nA[:m] = neigh[pos]
+            ip = np.full(h_pad + 1, m, dtype=np.int32)
+            np.cumsum(lens, out=ip[1 : h + 1])
+            ip[0] = 0
+            ip[h_pad] = m_pad  # the fake last row absorbs all pad edges
+            rows_pad = np.full(h_pad, n, dtype=np.int32)
+            rows_pad[:h] = act_rows
+            labels, changed_flags, winners = _active_step(
+                labels,
+                jnp.asarray(rows_pad),
+                jnp.asarray(cA),
+                jnp.asarray(nA),
+                jnp.asarray(ip),
+                n,
+            )
+            cf = np.asarray(changed_flags)[:h]
+            changed_ids = act_rows[cf]
+            prev[changed_ids] = np.asarray(winners)[:h][cf]
+        it = i + 1
+        if timer:
+            timer.stop(f"cdlp iteration {i}", labels)
+        if changed_ids.size == 0:
+            break
+        if i == itermax - 1:
+            break  # don't plan a next iteration that will never run
+        # next active set = union of the changed vertices' incidence lists;
+        # gate the O(edges-of-changed) slicing on the cheap upper bound
+        cm = int(deg[changed_ids].sum())
+        if cm <= thresh_edges:
+            cpos, _, _ = _slice_incidence(changed_ids, deg, indptr_h)
+            nxt = np.unique(neigh[cpos])
+            if nxt.size and int(deg[nxt].sum()) <= thresh_edges:
+                act_rows = nxt
+            else:
+                act_rows = None
+        else:
+            act_rows = None
+    return labels, it

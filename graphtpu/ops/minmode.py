@@ -74,17 +74,20 @@ def _bits(v: int) -> int:
     return max(int(v).bit_length(), 1)
 
 
-def _heavy_minmode(labels, plan: SlabPlan, n: int):
-    """Min-mode over the heavy-tail incidence stream via pair sort +
-    packed prefix scans (segment boundaries are static).
+def stream_minmode(labels, centers, neigh, indptr, n):
+    """Min-mode per segment of a center-sorted incidence stream via pair
+    sort + packed prefix scans (segment boundaries are static).
+
+    `centers` are ascending local segment ids [m], `neigh` global vertex
+    ids [m], `indptr` [H+1] the static segment starts. Returns the winner
+    label per segment [H]; empty segments yield junk (callers mask them).
 
     Fast path: when (center, count, ~label) fits one int64 key, a single
     forward cummax selects the (max count, min label) winner per segment
     directly; otherwise fall back to the fwd+bwd max-count pass + winner
-    pass."""
-    centers = plan.heavy_centers          # static, ascending, int32
-    indptr = plan.heavy_indptr            # static [H+1]
-    lab = table_gather(labels, plan.heavy_neigh)
+    pass. Shared by the heavy-tail rows of the slab plan and the
+    convergence-adaptive active-set steps (graphtpu/ops/active.py)."""
+    lab = table_gather(labels, neigh)
     c_s, l_s = jax.lax.sort((centers, lab), num_keys=2)  # c_s == centers
     m = l_s.shape[0]
     idx = jnp.arange(m, dtype=jnp.int32)
@@ -97,11 +100,11 @@ def _heavy_minmode(labels, plan: SlabPlan, n: int):
     run_start = jax.lax.cummax(jnp.where(is_start, idx, -1))
     count = idx - run_start + 1            # run length, valid at is_last
 
-    num_heavy = indptr.shape[0] - 1
+    num_rows = indptr.shape[0] - 1
     ends = jnp.maximum(indptr[1:] - 1, 0)
     c64 = c_s.astype(jnp.int64)
 
-    hb, cb, lb = _bits(num_heavy), _bits(m), _bits(n)
+    hb, cb, lb = _bits(num_rows), _bits(m), _bits(n)
     if hb + cb + lb <= 63:
         # one-scan winner: key = center | count | inverted label
         lmask = (1 << lb) - 1
@@ -113,12 +116,12 @@ def _heavy_minmode(labels, plan: SlabPlan, n: int):
             c64 << (cb + lb),
         )
         wins = jax.lax.cummax(pk)
-        return (lmask - (wins[ends] & lmask)).astype(jnp.int32)
+        return (lmask - (table_gather(wins, ends) & lmask)).astype(jnp.int32)
 
     # fallback: fwd+bwd max-count, then winner pass (96-bit logical key)
     pk = jnp.where(is_last, (c64 << 31) | count.astype(jnp.int64), c64 << 31)
     fwd = jax.lax.cummax(pk)
-    h = num_heavy
+    h = num_rows
     c_flip = ((h - 1) - c64)[::-1]      # ascending along the reversed stream
     pk_rev = jnp.where(
         is_last[::-1],
@@ -135,7 +138,15 @@ def _heavy_minmode(labels, plan: SlabPlan, n: int):
         c64 << 31,
     )
     wins = jax.lax.cummax(pkb)
-    return (_M31 - (wins[ends] & _M31)).astype(jnp.int32)
+    return (_M31 - (table_gather(wins, ends) & _M31)).astype(jnp.int32)
+
+
+def _heavy_minmode(labels, plan: SlabPlan, n: int):
+    """Min-mode over the heavy-tail incidence stream (rows heavier than
+    the largest slab bucket)."""
+    return stream_minmode(
+        labels, plan.heavy_centers, plan.heavy_neigh, plan.heavy_indptr, n
+    )
 
 
 def _iter0_minmode(plan: SlabPlan, labels0: jax.Array) -> jax.Array:

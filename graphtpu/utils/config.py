@@ -124,7 +124,15 @@ class PlatformConfig:
     # segment reductions — fastest on TPU), "xla" (segment ops), or "slab"
     # (padded-ELL dense reductions; PR only for now)
     spmv_impl: str = "scan"
-    cdlp_impl: str = "auto"   # auto|slab|sort
+    cdlp_impl: str = "auto"   # auto|adaptive|slab|sort
+    # switch CDLP to compacted active-set steps once the rows adjacent to
+    # a changed vertex cover less than this fraction of the incidence
+    # (auto/adaptive impl only; graphtpu/ops/active.py)
+    cdlp_active_threshold: float = 0.10
+    bfs_impl: str = "auto"    # auto|hybrid|device
+    # run BFS levels whose frontier touches less than this fraction of the
+    # edges as host expansions instead of dense device steps
+    bfs_active_threshold: float = 0.05
     # slab (padded-ELL) degree bucket boundaries for CDLP/LCC kernels;
     # None/empty = library default (graphtpu/ops/slab.py DEFAULT_BUCKETS)
     slab_buckets: Optional[tuple] = None
@@ -149,6 +157,9 @@ class PlatformConfig:
             "platform.graphtpu.precision": ("precision", str),
             "platform.graphtpu.spmv-impl": ("spmv_impl", str),
             "platform.graphtpu.cdlp-impl": ("cdlp_impl", str),
+            "platform.graphtpu.cdlp-active-threshold": ("cdlp_active_threshold", float),
+            "platform.graphtpu.bfs-impl": ("bfs_impl", str),
+            "platform.graphtpu.bfs-active-threshold": ("bfs_active_threshold", float),
             "platform.graphtpu.num-devices": ("num_devices", int),
             "platform.graphtpu.profile-dir": ("profile_dir", str),
         }

@@ -1,0 +1,54 @@
+"""Hybrid (direction-optimizing) BFS vs the pure-device kernel."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from graphtpu.algorithms.bfs import _bfs_kernel, bfs_hybrid_run
+from graphtpu.core.graph import Graph
+from graphtpu.core.types import INT32_INF
+from graphtpu.utils.config import PlatformConfig
+from graphtpu.utils.synth import rmat_graph, uniform_graph
+
+
+def _device_levels(g, src):
+    coo = g.device_pull()
+    indptr = jnp.asarray(g.pull_indptr.astype(np.int32))
+    levels, it = _bfs_kernel(coo.src, coo.dst, indptr, jnp.int32(src), g.n)
+    return np.asarray(levels), int(it)
+
+
+@pytest.mark.parametrize("directed", [True, False])
+@pytest.mark.parametrize("threshold", [1.0, 0.2, 1e-9])
+def test_hybrid_matches_device(directed, threshold):
+    """threshold=1.0 forces host-only expansion; 1e-9 forces device-only;
+    0.2 exercises the mode switches both ways."""
+    g = rmat_graph(9, 8, directed=directed, seed=5)
+    cfg = PlatformConfig(bfs_active_threshold=threshold)
+    ref_levels, ref_it = _device_levels(g, 0)
+    got_levels, got_it = bfs_hybrid_run(g, 0, cfg)
+    np.testing.assert_array_equal(got_levels, ref_levels)
+    assert got_it == ref_it
+
+
+def test_hybrid_unreachable_and_chain():
+    # 0->1->2->3 chain plus isolated vertex 4 (unreachable)
+    src = np.array([0, 1, 2], dtype=np.int64)
+    dst = np.array([1, 2, 3], dtype=np.int64)
+    g = Graph(5, src, dst, None, np.arange(5, dtype=np.uint64),
+              directed=True, weighted=False)
+    for threshold in (1.0, 1e-9):
+        levels, it = bfs_hybrid_run(g, 0, PlatformConfig(bfs_active_threshold=threshold))
+        np.testing.assert_array_equal(levels[:4], [0, 1, 2, 3])
+        assert levels[4] == INT32_INF
+        ref_levels, ref_it = _device_levels(g, 0)
+        np.testing.assert_array_equal(levels, ref_levels)
+        assert it == ref_it
+
+
+def test_hybrid_uniform_directed():
+    g = uniform_graph(500, 4000, directed=True, seed=2)
+    ref_levels, ref_it = _device_levels(g, 3)
+    got_levels, got_it = bfs_hybrid_run(g, 3, PlatformConfig(bfs_active_threshold=0.3))
+    np.testing.assert_array_equal(got_levels, ref_levels)
+    assert got_it == ref_it
