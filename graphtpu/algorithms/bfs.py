@@ -110,7 +110,10 @@ def bfs_hybrid_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig] =
             )
             cand = dst_h[pos]
             cand = cand[levels[cand] == INT32_INF]
-            frontier = np.unique(cand)
+            # dedupe via mask scatter (cheaper than np.unique's sort)
+            mask = np.zeros(n, dtype=bool)
+            mask[cand] = True
+            frontier = np.nonzero(mask)[0]
             levels[frontier] = level + 1
             level += 1
         else:

@@ -168,7 +168,11 @@ def cdlp_adaptive_run(graph, centers, neigh, deg, itermax, cfg=None):
         cm = int(deg[changed_ids].sum())
         if cm <= thresh_edges:
             cpos, _, _ = _slice_incidence(changed_ids, deg, indptr_h)
-            nxt = np.unique(neigh[cpos])
+            # dedupe via mask scatter: O(edges + n), ~10x cheaper than the
+            # sort inside np.unique on this class of sizes
+            mask = np.zeros(n, dtype=bool)
+            mask[neigh[cpos]] = True
+            nxt = np.nonzero(mask)[0]
             if nxt.size and int(deg[nxt].sum()) <= thresh_edges:
                 act_rows = nxt
             else:

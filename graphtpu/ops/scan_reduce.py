@@ -35,7 +35,9 @@ _M32 = (1 << 32) - 1
 _BLOCK = 1 << 16
 
 
-def seg_sum_scan(values: jax.Array, indptr: jax.Array, acc_dtype=jnp.float64) -> jax.Array:
+def seg_sum_scan(
+    values: jax.Array, indptr: jax.Array, acc_dtype=jnp.float64, out_dtype=None
+) -> jax.Array:
     """Per-segment sums via a two-level prefix sum.
 
     XLA's stock cumsum lowering is pathological on TPU for long streams
@@ -44,11 +46,12 @@ def seg_sum_scan(values: jax.Array, indptr: jax.Array, acc_dtype=jnp.float64) ->
     within-row prefixes, and a small f64 cumsum over the ~m/128 row totals
     gives the inter-row offsets — also fixing the precision problem of a
     raw f32 prefix feeding the end-difference trick."""
+    out_dtype = out_dtype or values.dtype
     m = values.shape[0]
     if values.dtype == jnp.float64 or m <= _BLOCK:
         c = jnp.cumsum(values.astype(acc_dtype))
         c = jnp.concatenate([jnp.zeros((1,), acc_dtype), c])
-        return (c[indptr[1:]] - c[indptr[:-1]]).astype(values.dtype)
+        return (c[indptr[1:]] - c[indptr[:-1]]).astype(out_dtype)
 
     from graphtpu.ops.gather import table_gather
 
@@ -86,7 +89,7 @@ def seg_sum_scan(values: jax.Array, indptr: jax.Array, acc_dtype=jnp.float64) ->
 
     hi = prefix_at(indptr[1:])
     lo = prefix_at(indptr[:-1])
-    return (hi - lo).astype(values.dtype)
+    return (hi - lo).astype(out_dtype)
 
 
 def _pack_order_i64(values: jax.Array, descending: bool) -> jax.Array:

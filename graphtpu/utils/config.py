@@ -133,6 +133,7 @@ class PlatformConfig:
     # run BFS levels whose frontier touches less than this fraction of the
     # edges as host expansions instead of dense device steps
     bfs_active_threshold: float = 0.05
+    lcc_impl: str = "auto"    # auto|oriented|sweep
     # slab (padded-ELL) degree bucket boundaries for CDLP/LCC kernels;
     # None/empty = library default (graphtpu/ops/slab.py DEFAULT_BUCKETS)
     slab_buckets: Optional[tuple] = None
@@ -160,6 +161,7 @@ class PlatformConfig:
             "platform.graphtpu.cdlp-active-threshold": ("cdlp_active_threshold", float),
             "platform.graphtpu.bfs-impl": ("bfs_impl", str),
             "platform.graphtpu.bfs-active-threshold": ("bfs_active_threshold", float),
+            "platform.graphtpu.lcc-impl": ("lcc_impl", str),
             "platform.graphtpu.num-devices": ("num_devices", int),
             "platform.graphtpu.profile-dir": ("profile_dir", str),
         }
