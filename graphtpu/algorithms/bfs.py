@@ -80,6 +80,117 @@ def _bfs_dense_step(levels, frontier, level, edges_src, edges_dst, indptr, n, im
     return levels, new_frontier
 
 
+@partial(jax.jit, static_argnames=("n", "k_cap", "e_cap", "impl"))
+def _bfs_adaptive_kernel(
+    levels0, frontier0_id, edges_src, edges_dst, pull_indptr,
+    deg_pad, push_indptr, push_dst, n, k_cap, e_cap, impl="scan",
+):
+    """Single-dispatch direction-optimizing BFS: sparse frontiers expand
+    on device through the compacted frontier engine
+    (graphtpu/ops/frontier.py) over the push CSR; frontiers whose
+    out-edges exceed the static capacity run the dense pull step. Two
+    nested phase loops (a lax.cond in the body would schedule both
+    branches every level on TPU). One dispatch for the whole traversal —
+    the host-driven hybrid pays per-level host↔device transfers, which
+    this environment's TPU relay makes dominant."""
+    from graphtpu.ops.frontier import compact, expand, scatter_frontier
+    from graphtpu.ops.gather import table_gather
+
+    deg_n = deg_pad[:-1]
+
+    def derive(frontier_mask):
+        ids, cnt = compact(frontier_mask, k_cap)
+        fe = jnp.sum(jnp.where(frontier_mask, deg_n, 0), dtype=jnp.int32)
+        ok = (cnt <= k_cap) & (fe <= e_cap)
+        return ids, ok, cnt > 0
+
+    def full_step(levels, frontier_mask, level):
+        levels, new_frontier = _bfs_dense_step(
+            levels, frontier_mask.astype(jnp.int32), level,
+            edges_src, edges_dst, pull_indptr, n, impl,
+        )
+        nf_mask = new_frontier == 1
+        ids, ok, nonempty = derive(nf_mask)
+        return levels, nf_mask, ids, ok, nonempty
+
+    def active_step(levels, ids, level):
+        exp = expand(ids, deg_pad, push_indptr, push_dst, e_cap)
+        unvisited = exp.valid & (
+            table_gather(levels, exp.neigh) == INT32_INF
+        )
+        targets = jnp.where(unvisited, exp.neigh, jnp.int32(n))
+        levels = levels.at[targets].set(level + 1, mode="drop")
+        nf_mask = scatter_frontier(n, exp.neigh, unvisited)
+        ids2, ok, nonempty = derive(nf_mask)
+        return levels, nf_mask, ids2, ok, nonempty
+
+    def full_phase(state):
+        def cond(s):
+            _, _, _, ok, nonempty, level = s
+            return nonempty & (~ok) & (level < n)
+
+        def body(s):
+            levels, fmask, _, _, _, level = s
+            levels, nf_mask, ids, ok, nonempty = full_step(levels, fmask, level)
+            return levels, nf_mask, ids, ok, nonempty, level + 1
+
+        return jax.lax.while_loop(cond, body, state)
+
+    def active_phase(state):
+        def cond(s):
+            _, _, _, ok, nonempty, level = s
+            return nonempty & ok & (level < n)
+
+        def body(s):
+            levels, _, ids, _, _, level = s
+            levels, nf_mask, ids2, ok, nonempty = active_step(levels, ids, level)
+            return levels, nf_mask, ids2, ok, nonempty, level + 1
+
+        return jax.lax.while_loop(cond, body, state)
+
+    levels = levels0
+    fmask0 = jnp.zeros((n,), bool).at[frontier0_id].set(True)
+    ids0, ok0, nonempty0 = derive(fmask0)
+    state = (levels, fmask0, ids0, ok0, nonempty0, jnp.int32(0))
+
+    def outer_cond(s):
+        _, _, _, _, nonempty, level = s
+        return nonempty & (level < n)
+
+    def outer_body(s):
+        return full_phase(active_phase(s))
+
+    levels, _, _, _, _, level = jax.lax.while_loop(outer_cond, outer_body, state)
+    return levels, level
+
+
+def bfs_adaptive_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig] = None):
+    """Entry point for the single-dispatch adaptive BFS. Returns
+    (levels int32 np array with INT32_INF unreachable, iterations)."""
+    n = graph.n
+    coo = graph.device_pull()
+    pull_indptr = jnp.asarray(graph.pull_indptr.astype(np.int32))
+    deg_pad = np.concatenate([graph.out_degree, [0]]).astype(np.int32)
+    k_cap = int(getattr(cfg, "bfs_frontier_rows", 0) or 1 << 16)
+    e_cap = int(getattr(cfg, "bfs_frontier_edges", 0) or 1 << 18)
+    levels0 = jnp.full((n,), INT32_INF, dtype=jnp.int32).at[src_dense].set(0)
+    levels, niter = _bfs_adaptive_kernel(
+        levels0,
+        jnp.int32(src_dense),
+        coo.src,
+        coo.dst,
+        pull_indptr,
+        jnp.asarray(deg_pad),
+        jnp.asarray(graph.indptr.astype(np.int32)),
+        jnp.asarray(graph.dst.astype(np.int32)),
+        n,
+        k_cap,
+        e_cap,
+        getattr(cfg, "spmv_impl", "scan") or "scan",
+    )
+    return np.asarray(levels), int(niter)
+
+
 def bfs_hybrid_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig] = None):
     """Direction-optimizing hybrid: sparse frontiers expand on the host
     over the push CSR (out-edges — the correct direction for directed
@@ -146,7 +257,11 @@ def bfs(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> Algorithm
     if params.source_vertex is None:
         raise ValueError("bfs requires source-vertex")
     src_dense = graph.dense_source(params.source_vertex)
-    if getattr(cfg, "bfs_impl", "auto") in ("auto", "hybrid"):
+    impl = getattr(cfg, "bfs_impl", "auto")
+    if impl in ("auto", "adaptive"):
+        levels, niter = bfs_adaptive_run(graph, src_dense, cfg)
+        levels = levels.astype(np.int64)
+    elif impl == "hybrid":
         levels, niter = bfs_hybrid_run(graph, src_dense, cfg)
         levels = levels.astype(np.int64)
     else:

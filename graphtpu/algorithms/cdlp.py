@@ -118,11 +118,19 @@ def cdlp(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> Algorith
     deg = np.bincount(centers, minlength=graph.n).astype(np.int32)
 
     impl = cfg.cdlp_impl
+    if impl in ("auto", "adaptive") and cfg.iteration_timing:
+        impl = "adaptive-host"  # per-iteration timing needs host stepping
     if impl in ("auto", "adaptive"):
         # convergence-adaptive: full slab steps while labels churn, then
-        # compacted active-set steps (graphtpu/ops/active.py) — the
-        # runtime analogue of the CUDA fork's iteration-indexed kernel
-        # switch (cdlp_kernel.cu:1238-1243)
+        # compacted active-set steps, all inside ONE jit dispatch
+        # (graphtpu/ops/active.py) — the runtime analogue of the CUDA
+        # fork's iteration-indexed kernel switch (cdlp_kernel.cu:1238-1243)
+        from graphtpu.ops.active import cdlp_adaptive_device_run
+
+        labels, it = cdlp_adaptive_device_run(
+            graph, centers, neigh, deg, int(params.max_iterations), cfg
+        )
+    elif impl == "adaptive-host":
         from graphtpu.ops.active import cdlp_adaptive_run
 
         labels, it = cdlp_adaptive_run(

@@ -12,6 +12,13 @@ point. This is Bellman-Ford, which on TPUs beats bucketed delta-stepping:
 the whole edge stream is processed in one vectorized sweep with no
 data-dependent bucketing, and the iteration count is bounded by the hop
 diameter of the shortest-path tree (small for Graphalytics graphs).
+
+Hybrid mode (default): weighted graphs take more relaxation rounds than
+the hop diameter, and in the settled tail only a few distances still
+improve. Like hybrid BFS, rounds whose changed set touches few edges
+relax on the host over the push CSR (monotone relaxations commute, so
+the fixed point is unchanged); only heavy rounds pay the dense
+device sweep.
 """
 
 from __future__ import annotations
@@ -53,12 +60,202 @@ def _sssp_kernel(edges_src, edges_dst, indptr, edges_w, source, n, impl="scan"):
     return dist, it
 
 
+@partial(jax.jit, static_argnames=("n", "impl"))
+def _sssp_dense_step(dist, edges_src, edges_dst, indptr, edges_w, n, impl="scan"):
+    """One synchronous relaxation of every edge; returns (new dist,
+    changed mask)."""
+    from graphtpu.ops.gather import table_gather
+    from graphtpu.ops.spmv import pull_reduce
+
+    inf = jnp.asarray(jnp.inf, dist.dtype)
+    relaxed = pull_reduce(
+        "min", table_gather(dist, edges_src) + edges_w, edges_dst, indptr, n, inf, impl
+    )
+    new = jnp.minimum(dist, relaxed)
+    return new, new < dist
+
+
+@partial(jax.jit, static_argnames=("n", "k_cap", "e_cap", "impl"))
+def _sssp_adaptive_kernel(
+    dist0, src, edges_src, edges_dst, pull_indptr, pull_w,
+    deg_pad, push_indptr, push_dst, push_w, n, k_cap, e_cap, impl="scan",
+):
+    """Single-dispatch changed-set Bellman-Ford: rounds whose changed set
+    fits the static frontier capacities relax only those vertices'
+    out-edges through the compacted frontier engine; heavy rounds run the
+    dense sweep. One jit dispatch for the whole fixed-point iteration
+    (structure mirrors _bfs_adaptive_kernel / _cdlp_adaptive_kernel)."""
+    from graphtpu.ops.frontier import compact, expand
+    from graphtpu.ops.gather import table_gather
+
+    deg_n = deg_pad[:-1]
+
+    def derive(changed_mask):
+        ids, cnt = compact(changed_mask, k_cap)
+        fe = jnp.sum(jnp.where(changed_mask, deg_n, 0), dtype=jnp.int32)
+        ok = (cnt <= k_cap) & (fe <= e_cap)
+        return ids, ok, cnt > 0
+
+    def full_step(dist):
+        new, changed_mask = _sssp_dense_step(
+            dist, edges_src, edges_dst, pull_indptr, pull_w, n, impl
+        )
+        ids, ok, nonempty = derive(changed_mask)
+        return new, ids, ok, nonempty
+
+    def active_step(dist, ids):
+        exp = expand(ids, deg_pad, push_indptr, push_dst, e_cap)
+        du = table_gather(dist, jnp.where(exp.valid, exp.row_ids, 0))
+        cand = du + table_gather(push_w, exp.gpos)
+        targets = jnp.where(exp.valid, exp.neigh, jnp.int32(n))
+        new = dist.at[targets].min(jnp.where(exp.valid, cand, jnp.inf),
+                                   mode="drop")
+        changed_mask = new < dist
+        ids2, ok, nonempty = derive(changed_mask)
+        return new, ids2, ok, nonempty
+
+    def full_phase(state):
+        def cond(s):
+            _, _, ok, nonempty, it = s
+            return nonempty & (~ok) & (it < n)
+
+        def body(s):
+            dist, _, _, _, it = s
+            new, ids, ok, nonempty = full_step(dist)
+            return new, ids, ok, nonempty, it + 1
+
+        return jax.lax.while_loop(cond, body, state)
+
+    def active_phase(state):
+        def cond(s):
+            _, _, ok, nonempty, it = s
+            return nonempty & ok & (it < n)
+
+        def body(s):
+            dist, ids, _, _, it = s
+            new, ids2, ok, nonempty = active_step(dist, ids)
+            return new, ids2, ok, nonempty, it + 1
+
+        return jax.lax.while_loop(cond, body, state)
+
+    fmask0 = jnp.zeros((n,), bool).at[src].set(True)
+    ids0, ok0, nonempty0 = derive(fmask0)
+    state = (dist0, ids0, ok0, nonempty0, jnp.int32(0))
+
+    def outer_cond(s):
+        _, _, _, nonempty, it = s
+        return nonempty & (it < n)
+
+    def outer_body(s):
+        return full_phase(active_phase(s))
+
+    dist, _, _, _, it = jax.lax.while_loop(outer_cond, outer_body, state)
+    return dist, it
+
+
+def sssp_adaptive_run(graph: Graph, src_dense: int, cfg=None, dtype=np.float32):
+    """Entry point for the single-dispatch adaptive SSSP."""
+    n = graph.n
+    coo = graph.device_pull(wdtype=dtype)
+    pull_indptr = jnp.asarray(graph.pull_indptr.astype(np.int32))
+    deg_pad = np.concatenate([graph.out_degree, [0]]).astype(np.int32)
+    k_cap = int(getattr(cfg, "sssp_frontier_rows", 0) or 1 << 16)
+    e_cap = int(getattr(cfg, "sssp_frontier_edges", 0) or 1 << 18)
+    dist0 = jnp.full((n,), jnp.inf, dtype=dtype).at[src_dense].set(0.0)
+    dist, niter = _sssp_adaptive_kernel(
+        dist0,
+        jnp.int32(src_dense),
+        coo.src,
+        coo.dst,
+        pull_indptr,
+        coo.w,
+        jnp.asarray(deg_pad),
+        jnp.asarray(graph.indptr.astype(np.int32)),
+        jnp.asarray(graph.dst.astype(np.int32)),
+        jnp.asarray(graph.w.astype(dtype)),
+        n,
+        k_cap,
+        e_cap,
+        getattr(cfg, "spmv_impl", "scan") or "scan",
+    )
+    return np.asarray(dist), int(niter)
+
+
+def sssp_hybrid_run(graph: Graph, src_dense: int, cfg=None, dtype=np.float32):
+    """Changed-set Bellman-Ford: rounds whose changed vertices touch less
+    than `sssp_active_threshold` of the edges relax on the host over the
+    push CSR; heavy rounds run the dense device sweep. Returns
+    (distances np array, rounds)."""
+    n, m = graph.n, graph.nnz
+    indptr_h = graph.indptr
+    dst_h = graph.dst
+    w_h = graph.w.astype(dtype)
+    threshold = getattr(cfg, "sssp_active_threshold", None) or 0.05
+    tau = threshold * max(m, 1)
+
+    dist = np.full(n, np.inf, dtype=dtype)
+    dist[src_dense] = 0.0
+    changed = np.array([src_dense], dtype=np.int64)
+    rounds = 0
+    while changed.size:
+        fe = int((indptr_h[changed + 1] - indptr_h[changed]).sum())
+        if fe <= tau:
+            # host relaxation of the changed set's out-edges (reads are
+            # synchronous: contributions computed before any update)
+            lens = indptr_h[changed + 1] - indptr_h[changed]
+            offs = np.zeros(changed.shape[0], dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            pos = (
+                np.arange(fe, dtype=np.int64)
+                - np.repeat(offs, lens)
+                + np.repeat(indptr_h[changed], lens)
+            )
+            cand = dst_h[pos]
+            newd = dist[np.repeat(changed, lens)] + w_h[pos]
+            improved = newd < dist[cand]
+            cand, newd = cand[improved], newd[improved]
+            np.minimum.at(dist, cand, newd)
+            mask = np.zeros(n, dtype=bool)
+            mask[cand] = True
+            changed = np.nonzero(mask)[0]
+            rounds += 1
+        else:
+            coo = graph.device_pull(wdtype=dtype)
+            pull_indptr = jnp.asarray(graph.pull_indptr.astype(np.int32))
+            dist_d = jnp.asarray(dist)
+            impl = getattr(cfg, "spmv_impl", "scan") or "scan"
+            while True:
+                dist_d, changed_d = _sssp_dense_step(
+                    dist_d, coo.src, coo.dst, pull_indptr, coo.w, n, impl
+                )
+                rounds += 1
+                changed = np.nonzero(np.asarray(changed_d))[0]
+                if changed.size == 0:
+                    break
+                fe = int((indptr_h[changed + 1] - indptr_h[changed]).sum())
+                if fe <= tau:
+                    break
+            dist = np.array(dist_d)
+    return dist, rounds
+
+
 @register("sssp")
 def sssp(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> AlgorithmResult:
     if params.source_vertex is None:
         raise ValueError("sssp requires source-vertex")
     dtype = float_dtype(cfg)
     src_dense = graph.dense_source(params.source_vertex)
+    impl = getattr(cfg, "sssp_impl", "auto")
+    if impl in ("auto", "adaptive"):
+        dist, niter = sssp_adaptive_run(graph, src_dense, cfg, dtype)
+        return AlgorithmResult(
+            "sssp", dist.astype(np.float64), iterations=int(niter)
+        )
+    if impl == "hybrid":
+        dist, niter = sssp_hybrid_run(graph, src_dense, cfg, dtype)
+        return AlgorithmResult(
+            "sssp", dist.astype(np.float64), iterations=int(niter)
+        )
     coo = graph.device_pull(wdtype=dtype)
     indptr = jnp.asarray(graph.pull_indptr.astype(np.int32))
     dist, niter = _sssp_kernel(

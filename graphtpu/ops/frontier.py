@@ -1,0 +1,93 @@
+"""Device-side compacted frontier/active-set engine with static capacities.
+
+The host-driven active-set drivers (graphtpu/ops/active.py, hybrid
+BFS/SSSP) round-trip ids and sliced streams between host and device
+every iteration. That is fine on PCIe hosts but catastrophically slow
+through this environment's TPU relay (~1 MB/s), and even on real
+hardware it costs one dispatch per iteration. This module keeps the
+whole sparse-activity machinery ON DEVICE under `jit`:
+
+* a frontier is a fixed-capacity id buffer `ids [K]` (padded with n)
+  plus a count — `jnp.nonzero(mask, size=K, fill_value=n)` compacts a
+  dense mask into it without leaving the device;
+* `expand` turns a frontier into its concatenated adjacency slices with
+  a fixed edge capacity E: segment starts by exclusive-cumsum of
+  degrees, slot→row mapping by scatter-at-starts + cummax (the standard
+  vectorized `repeat`), neighbor ids by one table_gather at the
+  computed global positions;
+* callers guard with `fits` (count ≤ K and edges ≤ E) and fall back to
+  their dense full-graph step via `lax.cond` when a frontier exceeds
+  the static capacities — both branches compile once, the TPU executes
+  only the taken branch.
+
+This is the TPU-native replacement for dynamic frontier queues: all
+shapes static, one compiled program, data-dependent control flow in
+`lax.cond`/`lax.while_loop` instead of host Python.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from graphtpu.ops.gather import table_gather
+
+
+class Expansion(NamedTuple):
+    rows_local: jax.Array   # [E] int32 — frontier-slot index owning each edge slot
+    row_ids: jax.Array      # [E] int32 — vertex id owning each edge slot
+    neigh: jax.Array        # [E] int32 — neighbor vertex id (0 where invalid)
+    gpos: jax.Array         # [E] int32 — global edge-stream position (0 if invalid)
+    seg_starts: jax.Array   # [K+1] int32 — exclusive cumsum of frontier degrees
+    edge_count: jax.Array   # scalar int32 — real edges (slots >= this are pad)
+    valid: jax.Array        # [E] bool — slot holds a real edge
+
+
+def compact(mask: jax.Array, k: int):
+    """Dense bool mask [n] → (ids [K] padded with n, count)."""
+    n = mask.shape[0]
+    (ids,) = jnp.nonzero(mask, size=k, fill_value=n)
+    return ids.astype(jnp.int32), jnp.sum(mask, dtype=jnp.int32)
+
+
+def expand(ids: jax.Array, deg_pad: jax.Array, indptr_pad: jax.Array,
+           neigh: jax.Array, e_cap: int) -> Expansion:
+    """Concatenate the adjacency slices of `ids` into [e_cap] slots.
+
+    `deg_pad`/`indptr_pad` must be [n+1]-sized with deg_pad[n] == 0 so
+    the id padding value n reads as an empty slice. Edges beyond e_cap
+    are truncated — callers must pre-check `edge_count <= e_cap`."""
+    k = ids.shape[0]
+    lens = table_gather(deg_pad, ids)                      # [K]
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(lens, dtype=jnp.int32)]
+    )                                                      # [K+1] exclusive
+    total = starts[-1]
+    # slot -> owning frontier slot: scatter each NONEMPTY row's index at
+    # its start, then cummax. Empty rows share their start with the next
+    # nonempty row and must not be scattered; two nonempty rows can never
+    # share a start.
+    marks = (
+        jnp.full((e_cap,), -1, jnp.int32)
+        .at[starts[:-1]]
+        .max(jnp.where(lens > 0, jnp.arange(k, dtype=jnp.int32), -1), mode="drop")
+    )
+    rows_local = jnp.clip(jax.lax.cummax(marks), 0, k - 1)  # [E]
+    slot = jnp.arange(e_cap, dtype=jnp.int32)
+    valid = slot < total
+    row_ids = table_gather(ids, rows_local)                # [E] vertex ids
+    offs = slot - table_gather(starts, rows_local)
+    gpos = jnp.where(valid, table_gather(indptr_pad, row_ids) + offs, 0)
+    nb = table_gather(neigh, gpos)
+    return Expansion(
+        rows_local, row_ids, jnp.where(valid, nb, 0), gpos, starts, total, valid
+    )
+
+
+def scatter_frontier(mask_cap: int, neigh: jax.Array, active: jax.Array):
+    """Mark `neigh[active]` in a dense bool mask of size mask_cap (ids
+    equal to mask_cap are dropped)."""
+    idx = jnp.where(active, neigh, mask_cap)
+    return jnp.zeros((mask_cap,), bool).at[idx].set(True, mode="drop")

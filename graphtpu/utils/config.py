@@ -124,16 +124,28 @@ class PlatformConfig:
     # segment reductions — fastest on TPU), "xla" (segment ops), or "slab"
     # (padded-ELL dense reductions; PR only for now)
     spmv_impl: str = "scan"
-    cdlp_impl: str = "auto"   # auto|adaptive|slab|sort
+    cdlp_impl: str = "auto"   # auto|adaptive|adaptive-host|slab|sort
     # switch CDLP to compacted active-set steps once the rows adjacent to
     # a changed vertex cover less than this fraction of the incidence
-    # (auto/adaptive impl only; graphtpu/ops/active.py)
+    # (adaptive-host impl; graphtpu/ops/active.py)
     cdlp_active_threshold: float = 0.10
-    bfs_impl: str = "auto"    # auto|hybrid|device
+    # static frontier capacities of the single-dispatch adaptive kernel
+    # (auto/adaptive impl): active-set steps run only while the active
+    # rows/edges fit these buffers, else full slab steps
+    cdlp_frontier_rows: int = 1 << 16
+    cdlp_frontier_edges: int = 1 << 18
+    bfs_impl: str = "auto"    # auto|adaptive|hybrid|device
     # run BFS levels whose frontier touches less than this fraction of the
-    # edges as host expansions instead of dense device steps
+    # edges as host expansions instead of dense device steps (hybrid impl)
     bfs_active_threshold: float = 0.05
+    # static frontier capacities of the single-dispatch adaptive BFS
+    bfs_frontier_rows: int = 1 << 16
+    bfs_frontier_edges: int = 1 << 18
     lcc_impl: str = "auto"    # auto|oriented|sweep
+    sssp_impl: str = "auto"   # auto|adaptive|hybrid|device
+    sssp_active_threshold: float = 0.05
+    sssp_frontier_rows: int = 1 << 16
+    sssp_frontier_edges: int = 1 << 18
     # slab (padded-ELL) degree bucket boundaries for CDLP/LCC kernels;
     # None/empty = library default (graphtpu/ops/slab.py DEFAULT_BUCKETS)
     slab_buckets: Optional[tuple] = None
@@ -159,9 +171,15 @@ class PlatformConfig:
             "platform.graphtpu.spmv-impl": ("spmv_impl", str),
             "platform.graphtpu.cdlp-impl": ("cdlp_impl", str),
             "platform.graphtpu.cdlp-active-threshold": ("cdlp_active_threshold", float),
+            "platform.graphtpu.cdlp-frontier-rows": ("cdlp_frontier_rows", int),
+            "platform.graphtpu.cdlp-frontier-edges": ("cdlp_frontier_edges", int),
             "platform.graphtpu.bfs-impl": ("bfs_impl", str),
             "platform.graphtpu.bfs-active-threshold": ("bfs_active_threshold", float),
+            "platform.graphtpu.bfs-frontier-rows": ("bfs_frontier_rows", int),
+            "platform.graphtpu.bfs-frontier-edges": ("bfs_frontier_edges", int),
             "platform.graphtpu.lcc-impl": ("lcc_impl", str),
+            "platform.graphtpu.sssp-impl": ("sssp_impl", str),
+            "platform.graphtpu.sssp-active-threshold": ("sssp_active_threshold", float),
             "platform.graphtpu.num-devices": ("num_devices", int),
             "platform.graphtpu.profile-dir": ("profile_dir", str),
         }

@@ -69,3 +69,55 @@ def test_adaptive_uniform_directed():
     got_labels, got_it = _adaptive(g, 8, 0.6)
     np.testing.assert_array_equal(got_labels, ref_labels)
     assert got_it == ref_it
+
+
+# ---------------- single-dispatch device kernel ----------------
+
+
+def _adaptive_device(g, itermax, rows_cap, edges_cap):
+    from graphtpu.ops.active import cdlp_adaptive_device_run
+
+    centers, neigh = build_incidence(g)
+    deg = np.bincount(centers, minlength=g.n).astype(np.int32)
+    cfg = PlatformConfig(
+        cdlp_frontier_rows=rows_cap, cdlp_frontier_edges=edges_cap
+    )
+    labels, it = cdlp_adaptive_device_run(g, centers, neigh, deg, itermax, cfg)
+    return np.asarray(labels), int(it)
+
+
+@pytest.mark.parametrize("directed", [True, False])
+@pytest.mark.parametrize(
+    "caps",
+    [
+        (1 << 10, 1 << 14),  # roomy: active path runs
+        (8, 32),             # tiny: nearly everything falls back to full steps
+    ],
+)
+def test_adaptive_device_matches_oracle(directed, caps):
+    g = rmat_graph(9, 8, directed=directed, seed=3)
+    for itermax in (1, 3, 10):
+        ref_labels, ref_it = _oracle(g, itermax)
+        got_labels, got_it = _adaptive_device(g, itermax, *caps)
+        np.testing.assert_array_equal(got_labels, ref_labels)
+        assert got_it == ref_it
+
+
+def test_adaptive_device_oscillators():
+    src = np.array([0, 1, 3, 4, 5, 4, 5, 3], dtype=np.int64)
+    dst = np.array([1, 0, 4, 5, 3, 3, 4, 5], dtype=np.int64)
+    g = Graph(6, src, dst, None, np.arange(6, dtype=np.uint64),
+              directed=False, weighted=False)
+    for itermax in (1, 2, 5, 9):
+        ref_labels, ref_it = _oracle(g, itermax)
+        got_labels, got_it = _adaptive_device(g, itermax, 1 << 8, 1 << 10)
+        np.testing.assert_array_equal(got_labels, ref_labels)
+        assert got_it == ref_it
+
+
+def test_adaptive_device_uniform_directed():
+    g = uniform_graph(300, 2500, directed=True, seed=13)
+    ref_labels, ref_it = _oracle(g, 8)
+    got_labels, got_it = _adaptive_device(g, 8, 1 << 9, 1 << 13)
+    np.testing.assert_array_equal(got_labels, ref_labels)
+    assert got_it == ref_it

@@ -52,3 +52,42 @@ def test_hybrid_uniform_directed():
     got_levels, got_it = bfs_hybrid_run(g, 3, PlatformConfig(bfs_active_threshold=0.3))
     np.testing.assert_array_equal(got_levels, ref_levels)
     assert got_it == ref_it
+
+
+# ---------------- single-dispatch device kernel ----------------
+
+
+@pytest.mark.parametrize("directed", [True, False])
+@pytest.mark.parametrize(
+    "caps",
+    [
+        (1 << 10, 1 << 14),  # roomy: active path covers everything
+        (4, 16),             # tiny: dense fallback dominates
+    ],
+)
+def test_adaptive_matches_device(directed, caps):
+    from graphtpu.algorithms.bfs import bfs_adaptive_run
+
+    g = rmat_graph(9, 8, directed=directed, seed=5)
+    cfg = PlatformConfig(bfs_frontier_rows=caps[0], bfs_frontier_edges=caps[1])
+    ref_levels, ref_it = _device_levels(g, 0)
+    got_levels, got_it = bfs_adaptive_run(g, 0, cfg)
+    np.testing.assert_array_equal(got_levels, ref_levels)
+    assert got_it == ref_it
+
+
+def test_adaptive_chain_and_unreachable():
+    from graphtpu.algorithms.bfs import bfs_adaptive_run
+
+    src = np.array([0, 1, 2], dtype=np.int64)
+    dst = np.array([1, 2, 3], dtype=np.int64)
+    g = Graph(5, src, dst, None, np.arange(5, dtype=np.uint64),
+              directed=True, weighted=False)
+    for caps in ((1 << 8, 1 << 10), (4, 4)):
+        cfg = PlatformConfig(bfs_frontier_rows=caps[0], bfs_frontier_edges=caps[1])
+        levels, it = bfs_adaptive_run(g, 0, cfg)
+        np.testing.assert_array_equal(levels[:4], [0, 1, 2, 3])
+        assert levels[4] == INT32_INF
+        ref_levels, ref_it = _device_levels(g, 0)
+        np.testing.assert_array_equal(levels, ref_levels)
+        assert it == ref_it

@@ -1,0 +1,96 @@
+"""Hybrid (changed-set) SSSP vs the pure-device Bellman-Ford kernel."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from graphtpu.algorithms.sssp import _sssp_kernel, sssp_hybrid_run
+from graphtpu.core.graph import Graph
+from graphtpu.utils.config import PlatformConfig
+from graphtpu.utils.synth import rmat_graph, uniform_graph
+
+
+def _device_dist(g, src, dtype=np.float32):
+    coo = g.device_pull(wdtype=dtype)
+    indptr = jnp.asarray(g.pull_indptr.astype(np.int32))
+    dist, it = _sssp_kernel(
+        coo.src, coo.dst, indptr, coo.w, jnp.int32(src), g.n
+    )
+    return np.asarray(dist)
+
+
+def _weighted(g, seed):
+    # weights keyed on the unordered pair: undirected graphs store both
+    # directions of an edge with the SAME weight (Graph.from_original_ids)
+    lo = np.minimum(g.src, g.dst).astype(np.int64)
+    hi = np.maximum(g.src, g.dst).astype(np.int64)
+    w = 0.1 + ((lo * 1000003 + hi * 31 + seed) % 997) / 200.0
+    return Graph(
+        g.n, g.src, g.dst, w.astype(np.float64), g.mapping, g.directed, True,
+        _presorted=True, _dedup=False,
+    )
+
+
+@pytest.mark.parametrize("directed", [True, False])
+@pytest.mark.parametrize("threshold", [1.0, 0.2, 1e-9])
+def test_hybrid_matches_device(directed, threshold):
+    g = _weighted(rmat_graph(8, 8, directed=directed, seed=6), 1)
+    cfg = PlatformConfig(sssp_active_threshold=threshold)
+    ref = _device_dist(g, 0)
+    got, _ = sssp_hybrid_run(g, 0, cfg)
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+def test_hybrid_unreachable_and_chain():
+    src = np.array([0, 1, 2], dtype=np.int64)
+    dst = np.array([1, 2, 3], dtype=np.int64)
+    w = np.array([1.5, 2.0, 0.25])
+    g = Graph(5, src, dst, w, np.arange(5, dtype=np.uint64),
+              directed=True, weighted=True)
+    for threshold in (1.0, 1e-9):
+        dist, _ = sssp_hybrid_run(g, 0, PlatformConfig(sssp_active_threshold=threshold))
+        np.testing.assert_allclose(dist[:4], [0.0, 1.5, 3.5, 3.75], rtol=1e-6)
+        assert np.isinf(dist[4])
+
+
+def test_hybrid_uniform():
+    g = _weighted(uniform_graph(400, 3500, directed=True, seed=8), 3)
+    ref = _device_dist(g, 7)
+    got, _ = sssp_hybrid_run(g, 7, PlatformConfig(sssp_active_threshold=0.3))
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+# ---------------- single-dispatch device kernel ----------------
+
+
+@pytest.mark.parametrize("directed", [True, False])
+@pytest.mark.parametrize(
+    "caps",
+    [
+        (1 << 10, 1 << 14),  # roomy: active relaxation covers everything
+        (4, 16),             # tiny: dense fallback dominates
+    ],
+)
+def test_adaptive_matches_device_kernel(directed, caps):
+    from graphtpu.algorithms.sssp import sssp_adaptive_run
+
+    g = _weighted(rmat_graph(8, 8, directed=directed, seed=6), 1)
+    cfg = PlatformConfig(sssp_frontier_rows=caps[0], sssp_frontier_edges=caps[1])
+    ref = _device_dist(g, 0)
+    got, _ = sssp_adaptive_run(g, 0, cfg)
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+def test_adaptive_chain_and_unreachable():
+    from graphtpu.algorithms.sssp import sssp_adaptive_run
+
+    src = np.array([0, 1, 2], dtype=np.int64)
+    dst = np.array([1, 2, 3], dtype=np.int64)
+    w = np.array([1.5, 2.0, 0.25])
+    g = Graph(5, src, dst, w, np.arange(5, dtype=np.uint64),
+              directed=True, weighted=True)
+    for caps in ((1 << 8, 1 << 10), (2, 2)):
+        cfg = PlatformConfig(sssp_frontier_rows=caps[0], sssp_frontier_edges=caps[1])
+        dist, _ = sssp_adaptive_run(g, 0, cfg)
+        np.testing.assert_allclose(dist[:4], [0.0, 1.5, 3.5, 3.75], rtol=1e-6)
+        assert np.isinf(dist[4])
