@@ -71,53 +71,51 @@ def main() -> None:
         cache_mod.save(g, cache_dir, gname)
     gen_s = time.perf_counter() - t0
 
-    # ---------------- CDLP (headline, slab kernel) ----------------
-    from graphtpu.ops.minmode import _cdlp_slab_kernel, build_slab_plan
+    # ---------------- CDLP (headline, single-dispatch adaptive) ----------------
+    # full slab steps while labels churn, compacted active-set steps once
+    # the frontier fits — one jit dispatch for the whole itermax run
+    # (graphtpu/ops/active.py)
+    from graphtpu.ops.active import cdlp_adaptive_device_run, prepare_cdlp_adaptive
+    from graphtpu.utils.config import PlatformConfig
 
+    cfg = PlatformConfig()
     centers, neigh = build_incidence(g)
     deg = np.bincount(centers, minlength=g.n).astype(np.int32)
     inc_nnz = centers.shape[0]
 
-    plan = build_slab_plan(centers, neigh, deg.astype(np.int64), g.n)
-    labels0 = jnp.arange(g.n, dtype=jnp.int32)
-
-    labels, it = _cdlp_slab_kernel(plan, labels0, itermax)  # warmup/compile
-    _sync(labels)
+    prep = prepare_cdlp_adaptive(g, centers, neigh, deg, cfg)
+    labels, it = cdlp_adaptive_device_run(g, centers, neigh, deg, itermax, cfg, prep)
+    _sync(labels)  # warmup/compile
     t0 = time.perf_counter()
-    labels, it = _cdlp_slab_kernel(plan, labels0, itermax)
+    labels, it = cdlp_adaptive_device_run(g, centers, neigh, deg, itermax, cfg, prep)
     _sync(labels)
     cdlp_s = time.perf_counter() - t0
     iters_done = max(int(it), 1)
     cdlp_edges_per_s = inc_nnz * iters_done / cdlp_s
     cdlp_ms_per_iter = cdlp_s * 1000.0 / iters_done
 
-    # ---------------- PageRank SpMV nnz/s ----------------
-    coo = g.device_pull(wdtype=np.float32)
+    # ---------------- PageRank SpMV nnz/s (slab pull plan) ----------------
     out_deg = jnp.asarray(g.out_degree.astype(np.int32))
     n = g.n
     pr_iters = 20
 
-    from functools import partial
+    from graphtpu.algorithms.pr import _pr_slab_kernel
+    from graphtpu.ops.spmv import build_pull_plan
 
-    from graphtpu.algorithms.pr import _pr_kernel
-
-    pr_indptr = jnp.asarray(g.pull_indptr.astype(np.int32))
-    args = (coo.src, coo.dst, pr_indptr, out_deg, jnp.float32(0.85), n, pr_iters)
-    _sync(_pr_kernel(*args))
+    plan = build_pull_plan(g, wdtype=np.float32, with_values=False)
+    pargs = (plan, out_deg, jnp.float32(0.85), n, pr_iters)
+    _sync(_pr_slab_kernel(*pargs))
     t0 = time.perf_counter()
-    _sync(_pr_kernel(*args))
+    _sync(_pr_slab_kernel(*pargs))
     pr_s = time.perf_counter() - t0
     pr_nnz_per_s = g.nnz * pr_iters / pr_s
 
-    # ---------------- BFS GTEPS ----------------
-    from graphtpu.algorithms.bfs import _bfs_kernel
+    # ---------------- BFS GTEPS (single-dispatch adaptive) ----------------
+    from graphtpu.algorithms.bfs import bfs_adaptive_run
 
-    indptr = jnp.asarray(g.pull_indptr.astype(np.int32))
-    levels, nit = _bfs_kernel(coo.src, coo.dst, indptr, jnp.int32(0), n)
-    _sync(levels)
+    levels, nit = bfs_adaptive_run(g, 0, cfg)
     t0 = time.perf_counter()
-    levels, nit = _bfs_kernel(coo.src, coo.dst, indptr, jnp.int32(0), n)
-    _sync(levels)
+    levels, nit = bfs_adaptive_run(g, 0, cfg)
     bfs_s = time.perf_counter() - t0
     bfs_gteps = g.nnz / bfs_s / 1e9
 

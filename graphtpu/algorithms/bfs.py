@@ -164,13 +164,31 @@ def _bfs_adaptive_kernel(
     return levels, level
 
 
+def bfs_adaptive_prep(graph: Graph):
+    """Device-resident arrays for the adaptive BFS kernel, cached on the
+    Graph (transfers dominate a single traversal's wall time)."""
+    prep = getattr(graph, "_bfs_adaptive_prep", None)
+    if prep is None:
+        coo = graph.device_pull()
+        prep = (
+            coo,
+            jnp.asarray(graph.pull_indptr.astype(np.int32)),
+            jnp.asarray(
+                np.concatenate([graph.out_degree, [0]]).astype(np.int32)
+            ),
+            jnp.asarray(graph.indptr.astype(np.int32)),
+            jnp.asarray(graph.dst.astype(np.int32)),
+        )
+        graph._bfs_adaptive_prep = prep
+    return prep
+
+
 def bfs_adaptive_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig] = None):
     """Entry point for the single-dispatch adaptive BFS. Returns
-    (levels int32 np array with INT32_INF unreachable, iterations)."""
+    (levels int32 DEVICE array with INT32_INF unreachable, iterations) —
+    levels stay on device so callers control when to pay the D2H copy."""
     n = graph.n
-    coo = graph.device_pull()
-    pull_indptr = jnp.asarray(graph.pull_indptr.astype(np.int32))
-    deg_pad = np.concatenate([graph.out_degree, [0]]).astype(np.int32)
+    coo, pull_indptr, deg_pad, push_indptr, push_dst = bfs_adaptive_prep(graph)
     k_cap = int(getattr(cfg, "bfs_frontier_rows", 0) or 1 << 16)
     e_cap = int(getattr(cfg, "bfs_frontier_edges", 0) or 1 << 18)
     levels0 = jnp.full((n,), INT32_INF, dtype=jnp.int32).at[src_dense].set(0)
@@ -180,15 +198,15 @@ def bfs_adaptive_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig]
         coo.src,
         coo.dst,
         pull_indptr,
-        jnp.asarray(deg_pad),
-        jnp.asarray(graph.indptr.astype(np.int32)),
-        jnp.asarray(graph.dst.astype(np.int32)),
+        deg_pad,
+        push_indptr,
+        push_dst,
         n,
         k_cap,
         e_cap,
         getattr(cfg, "spmv_impl", "scan") or "scan",
     )
-    return np.asarray(levels), int(niter)
+    return levels, int(niter)
 
 
 def bfs_hybrid_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig] = None):
@@ -260,7 +278,7 @@ def bfs(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> Algorithm
     impl = getattr(cfg, "bfs_impl", "auto")
     if impl in ("auto", "adaptive"):
         levels, niter = bfs_adaptive_run(graph, src_dense, cfg)
-        levels = levels.astype(np.int64)
+        levels = np.asarray(levels).astype(np.int64)
     elif impl == "hybrid":
         levels, niter = bfs_hybrid_run(graph, src_dense, cfg)
         levels = levels.astype(np.int64)

@@ -83,7 +83,8 @@ def pr(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> AlgorithmR
         raise ValueError("pr requires damping-factor and num-iterations")
     dtype = float_dtype(cfg)
     out_deg = jnp.asarray(graph.out_degree.astype(np.int32))
-    if cfg.spmv_impl == "slab":
+    pr_impl = getattr(cfg, "pr_impl", "auto")
+    if pr_impl in ("auto", "slab") or cfg.spmv_impl == "slab":
         from graphtpu.ops.spmv import build_pull_plan
 
         plan = build_pull_plan(graph, wdtype=dtype, with_values=False)

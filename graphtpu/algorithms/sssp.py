@@ -153,12 +153,34 @@ def _sssp_adaptive_kernel(
     return dist, it
 
 
+def sssp_adaptive_prep(graph: Graph, dtype=np.float32):
+    """Device-resident arrays for the adaptive SSSP kernel, cached on the
+    Graph."""
+    key = np.dtype(dtype).name
+    cache = getattr(graph, "_sssp_adaptive_prep", None)
+    if cache is None or cache[0] != key:
+        coo = graph.device_pull(wdtype=dtype)
+        cache = (
+            key,
+            coo,
+            jnp.asarray(graph.pull_indptr.astype(np.int32)),
+            jnp.asarray(
+                np.concatenate([graph.out_degree, [0]]).astype(np.int32)
+            ),
+            jnp.asarray(graph.indptr.astype(np.int32)),
+            jnp.asarray(graph.dst.astype(np.int32)),
+            jnp.asarray(graph.w.astype(dtype)),
+        )
+        graph._sssp_adaptive_prep = cache
+    return cache[1:]
+
+
 def sssp_adaptive_run(graph: Graph, src_dense: int, cfg=None, dtype=np.float32):
     """Entry point for the single-dispatch adaptive SSSP."""
     n = graph.n
-    coo = graph.device_pull(wdtype=dtype)
-    pull_indptr = jnp.asarray(graph.pull_indptr.astype(np.int32))
-    deg_pad = np.concatenate([graph.out_degree, [0]]).astype(np.int32)
+    coo, pull_indptr, deg_pad, push_indptr, push_dst, push_w = sssp_adaptive_prep(
+        graph, dtype
+    )
     k_cap = int(getattr(cfg, "sssp_frontier_rows", 0) or 1 << 16)
     e_cap = int(getattr(cfg, "sssp_frontier_edges", 0) or 1 << 18)
     dist0 = jnp.full((n,), jnp.inf, dtype=dtype).at[src_dense].set(0.0)
@@ -169,10 +191,10 @@ def sssp_adaptive_run(graph: Graph, src_dense: int, cfg=None, dtype=np.float32):
         coo.dst,
         pull_indptr,
         coo.w,
-        jnp.asarray(deg_pad),
-        jnp.asarray(graph.indptr.astype(np.int32)),
-        jnp.asarray(graph.dst.astype(np.int32)),
-        jnp.asarray(graph.w.astype(dtype)),
+        deg_pad,
+        push_indptr,
+        push_dst,
+        push_w,
         n,
         k_cap,
         e_cap,

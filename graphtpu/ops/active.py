@@ -32,6 +32,7 @@ incidence lists. Rows outside it provably keep their label.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -121,23 +122,30 @@ def _cdlp_adaptive_kernel(
     n = labels0.shape[0]
     deg_n = deg_pad[:-1]
 
-    def derive(changed_mask):
-        """Next active set = union of changed vertices' incidence lists."""
+    def fits(changed_mask):
+        """Cheap mask statistics only — the expansion that turns a changed
+        mask into active ids runs OUTSIDE the full-step loop body (once
+        per phase transition): fusing it into the body blew the TPU's
+        scoped-vmem budget."""
         cnt = jnp.sum(changed_mask, dtype=jnp.int32)
         ce = jnp.sum(jnp.where(changed_mask, deg_n, 0), dtype=jnp.int32)
+        return (cnt <= k_cap) & (ce <= e_cap)
+
+    def derive(changed_mask):
+        """Active set = union of the changed vertices' incidence lists.
+        Callers must have checked fits(changed_mask)."""
         ids, _ = compact(changed_mask, k_cap)
         exp = expand(ids, deg_pad, indptr_pad, neigh_dev, e_cap)
         nxt_mask = scatter_frontier(n, exp.neigh, exp.valid)
         nxt_ids, nxt_cnt = compact(nxt_mask, k_cap)
         ne = jnp.sum(jnp.where(nxt_mask, deg_n, 0), dtype=jnp.int32)
-        ok = (cnt <= k_cap) & (ce <= e_cap) & (nxt_cnt <= k_cap) & (ne <= e_cap)
+        ok = (nxt_cnt <= k_cap) & (ne <= e_cap)
         return nxt_ids, ok
 
     def full_step(labels):
         new = cdlp_step(labels, plan)
         changed_mask = new != labels
-        nxt_ids, ok = derive(changed_mask)
-        return new, nxt_ids, ok, jnp.any(changed_mask)
+        return new, changed_mask, fits(changed_mask), jnp.any(changed_mask)
 
     def active_step(labels, act_ids):
         exp = expand(act_ids, deg_pad, indptr_pad, neigh_dev, e_cap)
@@ -165,40 +173,44 @@ def _cdlp_adaptive_kernel(
         nxt_ids, nxt_cnt = compact(nxt_mask, k_cap)
         ne = jnp.sum(jnp.where(nxt_mask, deg_n, 0), dtype=jnp.int32)
         ok = (nxt_cnt <= k_cap) & (ne <= e_cap)
-        return new, nxt_ids, ok, jnp.any(changed_row)
+        return new, nxt_mask, nxt_ids, ok, jnp.any(changed_row)
 
+    # state: (labels, changed/active mask, active ids, ok, changed, it)
     def full_phase(state):
         def cond(s):
-            _, _, ok, changed, it = s
+            _, _, _, ok, changed, it = s
             return changed & (it < itermax) & (~ok)
 
         def body(s):
-            labels, _, _, _, it = s
-            new, nids, nok, ch = full_step(labels)
-            return new, nids, nok, ch, it + 1
+            labels, _, ids, _, _, it = s
+            new, mask, fit, ch = full_step(labels)
+            return new, mask, ids, fit, ch, it + 1
 
         return jax.lax.while_loop(cond, body, state)
 
     def active_phase(state):
         def cond(s):
-            _, _, ok, changed, it = s
+            _, _, _, ok, changed, it = s
             return changed & (it < itermax) & ok
 
         def body(s):
-            labels, ids, _, _, it = s
-            new, nids, nok, ch = active_step(labels, ids)
-            return new, nids, nok, ch, it + 1
+            labels, _, ids, _, _, it = s
+            new, mask, nids, nok, ch = active_step(labels, ids)
+            return new, mask, nids, nok, ch, it + 1
 
         return jax.lax.while_loop(cond, body, state)
 
     if first_iter_min and itermax >= 1:
         labels_init = _iter0_minmode(plan, labels0)
-        ids0, ok0 = derive(labels_init != labels0)
-        state = (labels_init, ids0, ok0, jnp.any(labels_init != labels0),
-                 jnp.int32(1))
+        mask0 = labels_init != labels0
+        state = (
+            labels_init, mask0, jnp.full((k_cap,), n, jnp.int32),
+            fits(mask0), jnp.any(mask0), jnp.int32(1),
+        )
     else:
         state = (
             labels0,
+            jnp.zeros((n,), bool),
             jnp.full((k_cap,), n, jnp.int32),
             jnp.bool_(False),
             jnp.bool_(True),
@@ -206,18 +218,33 @@ def _cdlp_adaptive_kernel(
         )
 
     def outer_cond(s):
-        _, _, _, changed, it = s
+        _, _, _, _, changed, it = s
         return changed & (it < itermax)
 
     def outer_body(s):
-        return active_phase(full_phase(s))
+        s = full_phase(s)
+        labels, mask, _, ok, changed, it = s
+        # phase transition: expand the changed mask into the active set
+        # (the expensive expansion runs once here, not in the loop body)
+        ids, ok2 = derive(mask)
+        return active_phase((labels, mask, ids, ok & ok2, changed, it))
 
-    labels, _, _, _, it = jax.lax.while_loop(outer_cond, outer_body, state)
+    labels, _, _, _, _, it = jax.lax.while_loop(outer_cond, outer_body, state)
     return labels, it
 
 
-def cdlp_adaptive_device_run(graph, centers, neigh, deg, itermax, cfg=None):
-    """Entry point for the single-dispatch device-side adaptive kernel."""
+class AdaptivePrep(NamedTuple):
+    """Host-built, device-resident state for the adaptive kernel — build
+    once per graph (plan construction + transfers dominate a single run's
+    wall time on this box's single CPU core), reuse across runs."""
+
+    plan: object
+    deg_pad: object       # [n+1] int32 device (deg_pad[n] == 0)
+    indptr_pad: object    # [n+1] int32 device
+    neigh_dev: object     # [m] int32 device
+
+
+def prepare_cdlp_adaptive(graph, centers, neigh, deg, cfg=None) -> AdaptivePrep:
     n = graph.n
     deg = np.asarray(deg, dtype=np.int64)
     buckets = tuple(cfg.slab_buckets) if cfg and cfg.slab_buckets else DEFAULT_BUCKETS
@@ -225,14 +252,28 @@ def cdlp_adaptive_device_run(graph, centers, neigh, deg, itermax, cfg=None):
     indptr = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(deg, out=indptr[1:])
     deg_pad = np.concatenate([deg, [0]]).astype(np.int32)
-    k_cap = int(getattr(cfg, "cdlp_frontier_rows", 0) or 1 << 16)
-    e_cap = int(getattr(cfg, "cdlp_frontier_edges", 0) or 1 << 18)
-    labels0 = jnp.arange(n, dtype=jnp.int32)
-    labels, it = _cdlp_adaptive_kernel(
+    return AdaptivePrep(
         plan,
         jnp.asarray(deg_pad),
         jnp.asarray(indptr.astype(np.int32)),
         jnp.asarray(np.asarray(neigh, dtype=np.int32)),
+    )
+
+
+def cdlp_adaptive_device_run(graph, centers, neigh, deg, itermax, cfg=None,
+                             prep: AdaptivePrep | None = None):
+    """Entry point for the single-dispatch device-side adaptive kernel."""
+    if prep is None:
+        prep = prepare_cdlp_adaptive(graph, centers, neigh, deg, cfg)
+    n = graph.n
+    k_cap = int(getattr(cfg, "cdlp_frontier_rows", 0) or 1 << 16)
+    e_cap = int(getattr(cfg, "cdlp_frontier_edges", 0) or 1 << 18)
+    labels0 = jnp.arange(n, dtype=jnp.int32)
+    labels, it = _cdlp_adaptive_kernel(
+        prep.plan,
+        prep.deg_pad,
+        prep.indptr_pad,
+        prep.neigh_dev,
         labels0,
         int(itermax),
         not graph.directed,

@@ -46,10 +46,20 @@ class Expansion(NamedTuple):
 
 
 def compact(mask: jax.Array, k: int):
-    """Dense bool mask [n] → (ids [K] padded with n, count)."""
+    """Dense bool mask [n] → (ids [K] padded with n, count).
+
+    Sort-based: jnp.nonzero(size=...) lowers through a variadic
+    reduce-window prefix pass that blows the TPU's scoped-vmem budget
+    when fused into a large loop body; a masked full sort + static slice
+    lowers cleanly and costs ~2 ns/element."""
     n = mask.shape[0]
-    (ids,) = jnp.nonzero(mask, size=k, fill_value=n)
-    return ids.astype(jnp.int32), jnp.sum(mask, dtype=jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    ids = jnp.sort(jnp.where(mask, idx, jnp.int32(n)))
+    if n >= k:
+        ids = ids[:k]
+    else:
+        ids = jnp.concatenate([ids, jnp.full((k - n,), n, jnp.int32)])
+    return ids, jnp.sum(mask, dtype=jnp.int32)
 
 
 def expand(ids: jax.Array, deg_pad: jax.Array, indptr_pad: jax.Array,

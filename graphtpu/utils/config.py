@@ -124,6 +124,10 @@ class PlatformConfig:
     # segment reductions — fastest on TPU), "xla" (segment ops), or "slab"
     # (padded-ELL dense reductions; PR only for now)
     spmv_impl: str = "scan"
+    # PageRank pull-sum implementation: "auto"/"slab" = padded-ELL dense
+    # row sums (measured ~3x the scan path on v5e), "scan" = packed-scan
+    # segment reduce over the COO stream
+    pr_impl: str = "auto"     # auto|slab|scan
     cdlp_impl: str = "auto"   # auto|adaptive|adaptive-host|slab|sort
     # switch CDLP to compacted active-set steps once the rows adjacent to
     # a changed vertex cover less than this fraction of the incidence
@@ -169,6 +173,7 @@ class PlatformConfig:
             "platform.graphtpu.intermediate-dir": ("intermediate_dir", str),
             "platform.graphtpu.precision": ("precision", str),
             "platform.graphtpu.spmv-impl": ("spmv_impl", str),
+            "platform.graphtpu.pr-impl": ("pr_impl", str),
             "platform.graphtpu.cdlp-impl": ("cdlp_impl", str),
             "platform.graphtpu.cdlp-active-threshold": ("cdlp_active_threshold", float),
             "platform.graphtpu.cdlp-frontier-rows": ("cdlp_frontier_rows", int),
