@@ -60,11 +60,155 @@ def _wcc_kernel(edges_src, edges_dst, indptr, n, impl="scan"):
     return labels, it
 
 
+@partial(jax.jit, static_argnames=("n", "k_cap", "e_cap", "impl"))
+def _wcc_adaptive_kernel(edges_src, edges_dst, indptr, deg_pad, n,
+                        k_cap, e_cap, impl="scan"):
+    """Single-dispatch convergence-adaptive WCC (structure mirrors
+    _cdlp_adaptive_kernel): full min-propagation + pointer-jumping steps
+    while many labels churn, compacted active-set steps once the rows
+    adjacent to a changed vertex fit the static frontier capacities.
+
+    Active steps do PURE min-propagation (no pointer jumping): jumps can
+    change labels far from any frontier, which would force a second
+    expansion to find the next active set; without them a label can only
+    change through an edge, so the step's own expansion already holds the
+    next frontier. The fixed point (min label per component) is
+    unchanged — the tail just takes a few more (cheap) iterations."""
+    from graphtpu.ops.frontier import compact, compact_stream, expand, frontier_deg_sum
+    from graphtpu.ops.gather import table_gather
+    from graphtpu.ops.scan_reduce import seg_min_scan
+    from graphtpu.ops.spmv import pull_reduce
+
+    deg_n = deg_pad[:-1]
+    labels0 = jnp.arange(n, dtype=jnp.int32)
+
+    def fits(changed_mask):
+        cnt = jnp.sum(changed_mask, dtype=jnp.int32)
+        ce = jnp.sum(jnp.where(changed_mask, deg_n, 0), dtype=jnp.int32)
+        return (cnt <= k_cap) & (ce <= e_cap)
+
+    def derive(changed_mask):
+        ids, _ = compact(changed_mask, k_cap)
+        exp = expand(ids, deg_pad, indptr, edges_src, e_cap)
+        nxt_ids, nxt_cnt = compact_stream(exp.neigh, exp.valid, k_cap, n)
+        ne = frontier_deg_sum(nxt_ids, deg_pad)
+        return nxt_ids, (nxt_cnt <= k_cap) & (ne <= e_cap)
+
+    def full_step(labels):
+        neigh_min = pull_reduce(
+            "min", table_gather(labels, edges_src), edges_dst, indptr, n,
+            INT32_INF, impl,
+        )
+        new = jnp.minimum(labels, neigh_min)
+        new = jnp.minimum(new, table_gather(new, new))
+        new = jnp.minimum(new, table_gather(new, new))
+        changed_mask = new != labels
+        return new, changed_mask, fits(changed_mask), jnp.any(changed_mask)
+
+    def active_step(labels, act_ids):
+        exp = expand(act_ids, deg_pad, indptr, edges_src, e_cap)
+        lab_at = jnp.where(
+            exp.valid, table_gather(labels, exp.neigh), INT32_INF
+        )
+        indptr_ext = jnp.concatenate(
+            [exp.seg_starts, jnp.full((1,), e_cap, jnp.int32)]
+        )
+        centers_ext = jnp.where(exp.valid, exp.rows_local, jnp.int32(k_cap))
+        mins = seg_min_scan(lab_at, centers_ext, indptr_ext, INT32_INF)[:k_cap]
+        valid_row = act_ids < n
+        old = table_gather(labels, jnp.where(valid_row, act_ids, 0))
+        winners = jnp.minimum(old, mins)
+        changed_row = valid_row & (winners < old)
+        new = labels.at[jnp.where(changed_row, act_ids, jnp.int32(n))].set(
+            jnp.where(changed_row, winners, 0), mode="drop"
+        )
+        ch_edge = exp.valid & (
+            table_gather(changed_row.astype(jnp.int32), exp.rows_local) == 1
+        )
+        nxt_ids, nxt_cnt = compact_stream(exp.neigh, ch_edge, k_cap, n)
+        ne = frontier_deg_sum(nxt_ids, deg_pad)
+        ok = (nxt_cnt <= k_cap) & (ne <= e_cap)
+        return new, nxt_ids, ok, jnp.any(changed_row)
+
+    def full_phase(state):
+        def cond(s):
+            _, _, _, ok, changed, it = s
+            return changed & (it < n) & (~ok)
+
+        def body(s):
+            labels, _, ids, _, _, it = s
+            new, mask, fit, ch = full_step(labels)
+            return new, mask, ids, fit, ch, it + 1
+
+        return jax.lax.while_loop(cond, body, state)
+
+    def active_phase(state):
+        def cond(s):
+            _, _, _, ok, changed, it = s
+            return changed & (it < n) & ok
+
+        def body(s):
+            labels, mask, ids, _, _, it = s
+            new, nids, nok, ch = active_step(labels, ids)
+            return new, mask, nids, nok, ch, it + 1
+
+        return jax.lax.while_loop(cond, body, state)
+
+    state = (
+        labels0,
+        jnp.zeros((n,), bool),
+        jnp.full((k_cap,), n, jnp.int32),
+        jnp.bool_(False),
+        jnp.bool_(True),
+        jnp.int32(0),
+    )
+
+    def outer_cond(s):
+        _, _, _, _, changed, it = s
+        return changed & (it < n)
+
+    def outer_body(s):
+        s = full_phase(s)
+        labels, mask, _, ok, changed, it = s
+        ids, ok2 = derive(mask)
+        return active_phase((labels, mask, ids, ok & ok2, changed, it))
+
+    labels, _, _, _, _, it = jax.lax.while_loop(outer_cond, outer_body, state)
+    return labels, it
+
+
+def wcc_adaptive_run(graph: Graph, cfg=None):
+    """Entry point for the single-dispatch adaptive WCC."""
+    sym = graph.symmetrized()
+    prep = getattr(sym, "_wcc_adaptive_prep", None)
+    if prep is None:
+        coo = sym.device_pull()
+        prep = (
+            coo,
+            jnp.asarray(sym.pull_indptr.astype(np.int32)),
+            jnp.asarray(
+                np.concatenate([sym.in_degree, [0]]).astype(np.int32)
+            ),
+        )
+        sym._wcc_adaptive_prep = prep
+    coo, indptr, deg_pad = prep
+    k_cap = int(getattr(cfg, "wcc_frontier_rows", 0) or 1 << 17)
+    e_cap = int(getattr(cfg, "wcc_frontier_edges", 0) or 1 << 23)
+    labels, niter = _wcc_adaptive_kernel(
+        coo.src, coo.dst, indptr, deg_pad, sym.n, k_cap, e_cap,
+        getattr(cfg, "spmv_impl", "scan") or "scan",
+    )
+    return labels, int(niter)
+
+
 @register("wcc")
 def wcc(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> AlgorithmResult:
     sym = graph.symmetrized()
-    coo = sym.device_pull()
-    indptr = jnp.asarray(sym.pull_indptr.astype(np.int32))
-    labels, niter = _wcc_kernel(coo.src, coo.dst, indptr, sym.n, cfg.spmv_impl)
+    if getattr(cfg, "wcc_impl", "auto") in ("auto", "adaptive"):
+        labels, niter = wcc_adaptive_run(graph, cfg)
+    else:
+        coo = sym.device_pull()
+        indptr = jnp.asarray(sym.pull_indptr.astype(np.int32))
+        labels, niter = _wcc_kernel(coo.src, coo.dst, indptr, sym.n, cfg.spmv_impl)
     comp = graph.mapping[np.asarray(labels)]
     return AlgorithmResult("wcc", comp, iterations=int(niter))

@@ -117,7 +117,12 @@ def _cdlp_adaptive_kernel(
     branches every iteration, which would charge the full-step cost to
     every active-set iteration.
     """
-    from graphtpu.ops.frontier import compact, expand, scatter_frontier
+    from graphtpu.ops.frontier import (
+        compact,
+        compact_stream,
+        expand,
+        frontier_deg_sum,
+    )
 
     n = labels0.shape[0]
     deg_n = deg_pad[:-1]
@@ -136,9 +141,8 @@ def _cdlp_adaptive_kernel(
         Callers must have checked fits(changed_mask)."""
         ids, _ = compact(changed_mask, k_cap)
         exp = expand(ids, deg_pad, indptr_pad, neigh_dev, e_cap)
-        nxt_mask = scatter_frontier(n, exp.neigh, exp.valid)
-        nxt_ids, nxt_cnt = compact(nxt_mask, k_cap)
-        ne = jnp.sum(jnp.where(nxt_mask, deg_n, 0), dtype=jnp.int32)
+        nxt_ids, nxt_cnt = compact_stream(exp.neigh, exp.valid, k_cap, n)
+        ne = frontier_deg_sum(nxt_ids, deg_pad)
         ok = (nxt_cnt <= k_cap) & (ne <= e_cap)
         return nxt_ids, ok
 
@@ -169,11 +173,10 @@ def _cdlp_adaptive_kernel(
         ch_edge = exp.valid & (
             table_gather(changed_row.astype(jnp.int32), exp.rows_local) == 1
         )
-        nxt_mask = scatter_frontier(n, exp.neigh, ch_edge)
-        nxt_ids, nxt_cnt = compact(nxt_mask, k_cap)
-        ne = jnp.sum(jnp.where(nxt_mask, deg_n, 0), dtype=jnp.int32)
+        nxt_ids, nxt_cnt = compact_stream(exp.neigh, ch_edge, k_cap, n)
+        ne = frontier_deg_sum(nxt_ids, deg_pad)
         ok = (nxt_cnt <= k_cap) & (ne <= e_cap)
-        return new, nxt_mask, nxt_ids, ok, jnp.any(changed_row)
+        return new, nxt_ids, ok, jnp.any(changed_row)
 
     # state: (labels, changed/active mask, active ids, ok, changed, it)
     def full_phase(state):
@@ -194,8 +197,10 @@ def _cdlp_adaptive_kernel(
             return changed & (it < itermax) & ok
 
         def body(s):
-            labels, _, ids, _, _, it = s
-            new, mask, nids, nok, ch = active_step(labels, ids)
+            labels, mask, ids, _, _, it = s
+            # mask passes through untouched: it is only consumed by the
+            # full->active transition, which always follows >=1 full step
+            new, nids, nok, ch = active_step(labels, ids)
             return new, mask, nids, nok, ch, it + 1
 
         return jax.lax.while_loop(cond, body, state)

@@ -96,6 +96,32 @@ def expand(ids: jax.Array, deg_pad: jax.Array, indptr_pad: jax.Array,
     )
 
 
+def compact_stream(vals: jax.Array, active: jax.Array, k: int, n: int):
+    """Unique active values of a stream → (ids [K] padded with n, count).
+
+    Sort-based dedupe: two sorts of the [E] stream at ~2 ns/element,
+    versus a dense-mask scatter at ~30 ns/element — the difference that
+    makes mid-size active sets (millions of edges) worth compacting."""
+    s = jnp.sort(jnp.where(active, vals, jnp.int32(n)))
+    first = jnp.concatenate(
+        [s[:1] < n, (s[1:] != s[:-1]) & (s[1:] < n)]
+    )
+    ids = jnp.sort(jnp.where(first, s, jnp.int32(n)))
+    e = ids.shape[0]
+    if e >= k:
+        ids = ids[:k]
+    else:
+        ids = jnp.concatenate([ids, jnp.full((k - e,), n, jnp.int32)])
+    return ids, jnp.sum(first, dtype=jnp.int32)
+
+
+def frontier_deg_sum(ids: jax.Array, deg_pad: jax.Array):
+    """Σ deg over a compacted frontier (padding ids read deg 0). If the
+    frontier was truncated (count > K), the sum is a lower bound — callers
+    must also check count <= K."""
+    return jnp.sum(table_gather(deg_pad, ids), dtype=jnp.int32)
+
+
 def scatter_frontier(mask_cap: int, neigh: jax.Array, active: jax.Array):
     """Mark `neigh[active]` in a dense bool mask of size mask_cap (ids
     equal to mask_cap are dropped)."""

@@ -44,11 +44,14 @@ import jax.numpy as jnp
 
 from graphtpu.ops.edgehash import EdgeHash, build_edge_hash, probe_edge_hash
 
-# pair-square elements per kernel invocation (the probe's [.., 8]-slot
-# fetch makes the peak intermediate ~8x this)
-_CHUNK_ELEMS = 1 << 21
+# pair-square elements per scan step. The probe's fetched tensor carries
+# a 16-slot minor axis that tile-pads to 128 lanes (8x), so the live
+# intermediate is ~128 * 8B * this — keep it a few hundred MB.
+_CHUNK_ELEMS = 1 << 18
 
-_WEDGE_BUCKETS = (2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+_WEDGE_BUCKETS = (
+    2, 4, 8, 16, 32, 64, 128, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096,
+)
 
 
 class WedgeBucket(NamedTuple):
@@ -112,7 +115,9 @@ def prepare_wedge_plan(graph) -> WedgePlan:
     ex = np.minimum(ru, rv)
     ey = np.maximum(ru, rv)
 
-    perm = np.lexsort((ey, ex))
+    # single-key argsort of the packed pair == lexsort((ey, ex)), ~2x
+    # cheaper on this box's one core
+    perm = np.argsort((ex << id_bits) | ey, kind="stable")
     ex, ey, mult = ex[perm], ey[perm], mult[perm]
     d_plus = np.bincount(ex, minlength=n).astype(np.int64)
     indptr_o = np.zeros(n + 1, dtype=np.int64)
@@ -139,8 +144,10 @@ def prepare_wedge_plan(graph) -> WedgePlan:
         prev = w
         if sel.size == 0:
             continue
-        rc = max(1, _CHUNK_ELEMS // (w * w))
         r = sel.shape[0]
+        rc = max(1, _CHUNK_ELEMS // (w * w))
+        # don't let tiny buckets pad rows up to a huge chunk width
+        rc = min(rc, 1 << max(0, int(np.ceil(np.log2(max(r, 1))))))
         r_pad = -(-r // rc) * rc
         degs = d_plus[sel]
         offs = np.arange(w)
@@ -216,7 +223,28 @@ def _patch_spilled(plan: WedgePlan, numerator_ranked: np.ndarray) -> None:
         numerator_ranked[y] += int(mult_of(us, np.full(us.shape, x)).sum())
 
 
-@partial(jax.jit, static_argnames=("id_bits",))
+@partial(jax.jit, static_argnames=("id_bits", "chunk_cols"))
+def _wedge_bucket(slab, mslab, ehash, id_bits, chunk_cols):
+    """Triangle credits for a whole [W, R_pad] bucket: ONE dispatch, a
+    lax.scan over [W, Rc] column chunks (R_pad/Rc chunk bodies per call
+    would otherwise each pay dispatch overhead — thousands of calls for
+    narrow-Rc buckets). Returns (u_cred [R_pad], edge_cred [W, R_pad])."""
+    w, r_pad = slab.shape
+    t = r_pad // chunk_cols
+    # [W, R_pad] -> [T, W, Rc] chunk-major
+    slab_t = slab.reshape(w, t, chunk_cols).transpose(1, 0, 2)
+    mslab_t = mslab.reshape(w, t, chunk_cols).transpose(1, 0, 2)
+
+    def step(_, sm):
+        sub, msub = sm
+        u_c, e_c = _wedge_chunk(sub, msub, ehash, id_bits)
+        return None, (u_c, e_c)
+
+    _, (u_all, e_all) = jax.lax.scan(step, None, (slab_t, mslab_t))
+    # [T, Rc] -> [R_pad]; [T, W, Rc] -> [W, R_pad]
+    return u_all.reshape(r_pad), e_all.transpose(1, 0, 2).reshape(w, r_pad)
+
+
 def _wedge_chunk(sub, msub, ehash, id_bits):
     """Triangle credits for one [W, Rc] slab chunk over the full pair
     square. Returns (u_cred [Rc], edge_cred [W, Rc]): edge_cred[(slot,
@@ -267,17 +295,11 @@ def lcc_oriented_numerator(plan: WedgePlan) -> np.ndarray:
     numerator_ranked = np.zeros(n, dtype=np.int64)
     edge_cred_parts = []
     for b in plan.buckets:
-        r_pad = b.slab.shape[1]
-        u_parts, ec_parts = [], []
-        for c0 in range(0, r_pad, b.chunk_cols):
-            sub = jax.lax.slice_in_dim(b.slab, c0, c0 + b.chunk_cols, axis=1)
-            msub = jax.lax.slice_in_dim(b.mslab, c0, c0 + b.chunk_cols, axis=1)
-            u_c, e_c = _wedge_chunk(sub, msub, plan.ehash, plan.id_bits)
-            u_parts.append(u_c)
-            ec_parts.append(e_c)
-        u_all = np.asarray(jnp.concatenate(u_parts))[: b.r_real]
-        numerator_ranked[b.rows] += u_all.astype(np.int64)
-        edge_cred_parts.append(jnp.concatenate(ec_parts, axis=1).reshape(-1))
+        u_all, e_all = _wedge_bucket(
+            b.slab, b.mslab, plan.ehash, plan.id_bits, b.chunk_cols
+        )
+        numerator_ranked[b.rows] += np.asarray(u_all)[: b.r_real].astype(np.int64)
+        edge_cred_parts.append(e_all.reshape(-1))
     if edge_cred_parts:
         flat = jnp.concatenate(edge_cred_parts)
         head_cred = _aggregate_heads(

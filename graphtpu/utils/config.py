@@ -135,7 +135,10 @@ class PlatformConfig:
     cdlp_active_threshold: float = 0.10
     # static frontier capacities of the single-dispatch adaptive kernel
     # (auto/adaptive impl): active-set steps run only while the active
-    # rows/edges fit these buffers, else full slab steps
+    # rows/edges fit these buffers, else full slab steps. Keep these
+    # SMALL: static shapes mean every active iteration pays the full
+    # capacity-sized cost, so big caps make the near-converged tail
+    # expensive (2^23 edges measured 310 ms/iter vs ~20 ms at 2^18).
     cdlp_frontier_rows: int = 1 << 16
     cdlp_frontier_edges: int = 1 << 18
     bfs_impl: str = "auto"    # auto|adaptive|hybrid|device
@@ -150,6 +153,9 @@ class PlatformConfig:
     sssp_active_threshold: float = 0.05
     sssp_frontier_rows: int = 1 << 16
     sssp_frontier_edges: int = 1 << 18
+    wcc_impl: str = "auto"    # auto|adaptive|device
+    wcc_frontier_rows: int = 1 << 16
+    wcc_frontier_edges: int = 1 << 18
     # slab (padded-ELL) degree bucket boundaries for CDLP/LCC kernels;
     # None/empty = library default (graphtpu/ops/slab.py DEFAULT_BUCKETS)
     slab_buckets: Optional[tuple] = None
@@ -185,6 +191,9 @@ class PlatformConfig:
             "platform.graphtpu.lcc-impl": ("lcc_impl", str),
             "platform.graphtpu.sssp-impl": ("sssp_impl", str),
             "platform.graphtpu.sssp-active-threshold": ("sssp_active_threshold", float),
+            "platform.graphtpu.wcc-impl": ("wcc_impl", str),
+            "platform.graphtpu.wcc-frontier-rows": ("wcc_frontier_rows", int),
+            "platform.graphtpu.wcc-frontier-edges": ("wcc_frontier_edges", int),
             "platform.graphtpu.num-devices": ("num_devices", int),
             "platform.graphtpu.profile-dir": ("profile_dir", str),
         }

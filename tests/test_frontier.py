@@ -66,3 +66,22 @@ def test_scatter_frontier_drops_masked():
     active = jnp.asarray(np.array([True, True, False, True]))
     mask = np.asarray(scatter_frontier(5, neigh, active))
     np.testing.assert_array_equal(mask, [False, True, True, True, False])
+
+
+def test_compact_stream_dedupes_and_pads():
+    from graphtpu.ops.frontier import compact_stream
+
+    n = 10
+    vals = jnp.asarray(np.array([7, 2, 7, 2, 9, 0, 4], dtype=np.int32))
+    active = jnp.asarray(np.array([True, True, True, False, True, False, True]))
+    ids, cnt = compact_stream(vals, active, 8, n)
+    assert int(cnt) == 4
+    np.testing.assert_array_equal(np.asarray(ids), [2, 4, 7, 9, n, n, n, n])
+    # truncation: count reports the true number even when K is too small
+    ids2, cnt2 = compact_stream(vals, active, 2, n)
+    assert int(cnt2) == 4
+    np.testing.assert_array_equal(np.asarray(ids2), [2, 4])
+    # capacity larger than the stream pads with n
+    ids3, cnt3 = compact_stream(vals[:2], active[:2], 5, n)
+    assert int(cnt3) == 2
+    np.testing.assert_array_equal(np.asarray(ids3), [2, 7, n, n, n])
