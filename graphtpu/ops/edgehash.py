@@ -3,26 +3,30 @@
 The CUDA fork answered "is (x, y) an edge?" with per-row hash tables
 probed one thread at a time (cdlp_kernel.cu:419-447 open addressing,
 murmur-style mix at :400-412). The TPU reformulation: a host-built
-global table whose collision domain is a 16-slot ROW — a 128-byte unit
-`table_gather` fetches in one row gather — so a membership test is ONE
-gather + 16 lane compares, fully vectorized over millions of
-simultaneous queries. There is no probe sequence on device at all.
+global table whose collision domain is a 16-slot ROW fetched in ONE row
+gather, then compared across lanes — no probe sequence on device at all.
 
-Layout: the table is an int64 array [rows * 16]; a key k lands in row
-`h(k) = ((k * M) >> 32) & (rows - 1)` (multiplicative hashing; the
-masked result bits lie below bit 31, so the signed device arithmetic
-and the unsigned host arithmetic agree). Each slot holds
-`(key << PAYLOAD_BITS) | payload` (payload: a small int, e.g. the
-directed-edge multiplicity for LCC); empty slots hold -1, which can
-never collide with a packed key.
+Everything on the device path is int32 (int64 gathers and multiplies
+are slow on TPU v5e), and the table is a pre-shaped 2-D [rows, 128]
+int32 array: 128 lanes tile the TPU's (8, 128) layout exactly, so the
+gather operand needs NO padded relayout (narrower rows made XLA
+materialize a (128/W)x-padded copy of the whole table per dispatch —
+gigabytes for graph-scale tables, the cause of both the ~40 ns/probe
+cost and TPU worker OOM crashes). A slot is an (even, odd) int32 lane
+pair — 64 key slots per 512-byte row: the even lane holds the key's low
+32 bits (bit-reinterpreted), the odd lane holds
+`(key_hi << PAYLOAD_BITS) | payload` — keys up to
+2^(30 + 32 - PAYLOAD_BITS) fit. Empty slots hold (-1, -1); a real odd
+lane is always >= 0, so -1 can't match. The row index comes from a
+32-bit multiplicative hash of both halves (identical on host uint32 and
+device int32 arithmetic: the masked result bits lie below the
+sign-extension fill).
 
-Overflow policy: at the default fill (mean 4 keys per 16-slot row) the
-probability a row receives > 16 keys is ~1e-6 — a handful of keys on a
-30M-edge graph. Those keys are simply LEFT OUT of the table and
-returned to the caller, which handles them exactly on the host
+Overflow policy: at the default fill (mean 16 keys per 64-slot row) the
+probability a row receives > 64 keys is ~1e-12 — essentially never, but
+any keys that don't fit are simply LEFT OUT of the table and returned
+to the caller, which handles them exactly on the host
 (graphtpu/ops/triangles.py patches their triangles after the sweep).
-Keeping the device path single-gather beats a secondary-table probe
-that would double every query's cost for a 1e-6 event.
 """
 
 from __future__ import annotations
@@ -35,39 +39,49 @@ import jax.numpy as jnp
 
 PAYLOAD_BITS = 2
 _PAYLOAD_MASK = (1 << PAYLOAD_BITS) - 1
-_SLOTS = 16  # one 128-byte table_gather row
+_SLOTS = 64          # key slots per row
+_ROW = 2 * _SLOTS    # int32 lanes per row (lo/hi interleaved) == 128
 
-_M1 = np.uint64(0x9E3779B97F4A7C15)  # 2^64 / phi
+_M_LO = np.uint32(0x9E3779B1)   # golden-ratio prime
+_M_HI = np.uint32(0x85EBCA77)   # murmur3 fmix prime
 
 
 class EdgeHash(NamedTuple):
-    table: jax.Array               # int64 [rows * 16]
-    rows: int
+    table: jax.Array   # int32 [rows, 128] — pre-shaped, tiles exactly
+    rows: int          # power of two
 
 
-def _host_hash(keys_u64: np.ndarray, rows: int) -> np.ndarray:
-    prod = keys_u64 * _M1  # uint64 wrap-around
-    return ((prod >> np.uint64(32)) & np.uint64(rows - 1)).astype(np.int64)
+def _split(keys: np.ndarray, payload: np.ndarray):
+    lo = (keys.astype(np.uint64) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (keys.astype(np.uint64) >> np.uint64(32)).astype(np.uint32)
+    odd = (hi << np.uint32(PAYLOAD_BITS)) | payload.astype(np.uint32)
+    return lo.view(np.int32), odd.view(np.int32), lo, hi
+
+
+def _host_hash(lo_u32: np.ndarray, hi_u32: np.ndarray, rows: int) -> np.ndarray:
+    h = (lo_u32 * _M_LO) ^ (hi_u32 * _M_HI)  # uint32 wrap-around
+    b = int(rows).bit_length() - 1
+    return ((h >> np.uint32(32 - b)) & np.uint32(rows - 1)).astype(np.int64)
 
 
 def build_edge_hash(
     keys: np.ndarray, payload: np.ndarray, fill: float = 0.25
 ) -> Tuple[EdgeHash, np.ndarray]:
     """Build a membership table for int64 `keys` (non-negative, unique,
-    < 2^(63 - PAYLOAD_BITS)) with per-key `payload` ints < 2^PAYLOAD_BITS.
+    < 2^(30 + 32 - PAYLOAD_BITS)) with payload ints < 2^PAYLOAD_BITS.
 
     `fill` is the target mean slot occupancy (0.25 → mean 4 keys per
-    16-slot row). Returns (EdgeHash, spilled) where `spilled` is a bool
-    mask of keys that did NOT fit (P ~ 1e-6 per key at default fill) —
-    the caller must handle those out of band."""
+    16-slot row). Returns (EdgeHash, spilled) where `spilled` marks keys
+    that did NOT fit (P ~ 1e-6 per key at default fill) — the caller
+    must handle those out of band."""
     keys = np.asarray(keys, dtype=np.int64)
     payload = np.asarray(payload, dtype=np.int64)
-    packed = (keys << PAYLOAD_BITS) | payload
+    lo_i32, odd_i32, lo_u32, hi_u32 = _split(keys, payload)
 
     rows = 1 << max(
-        3, int(np.ceil(np.log2(max(len(keys), 1) / (_SLOTS * fill) + 1)))
+        4, int(np.ceil(np.log2(max(len(keys), 1) / (_SLOTS * fill) + 1)))
     )
-    h = _host_hash(keys.astype(np.uint64), rows)
+    h = _host_hash(lo_u32, hi_u32, rows)
     order = np.argsort(h, kind="stable")
     hs = h[order]
     idx = np.arange(hs.shape[0], dtype=np.int64)
@@ -76,30 +90,61 @@ def build_edge_hash(
         new_run = np.concatenate([[True], hs[1:] != hs[:-1]])
         rank = idx - np.maximum.accumulate(np.where(new_run, idx, 0))
     fits = rank < _SLOTS
-    table = np.full(rows * _SLOTS, -1, dtype=np.int64)
-    table[hs[fits] * _SLOTS + rank[fits]] = packed[order][fits]
+    table = np.full(rows * _ROW, -1, dtype=np.int32)
+    base = hs[fits] * _ROW + 2 * rank[fits]
+    table[base] = lo_i32[order][fits]
+    table[base + 1] = odd_i32[order][fits]
     spilled = np.zeros(keys.shape[0], dtype=bool)
     spilled[order[~fits]] = True
-    return EdgeHash(jnp.asarray(table), rows), spilled
+    return EdgeHash(jnp.asarray(table.reshape(rows, _ROW)), rows), spilled
+
+
+def _probe_lanes(eh: EdgeHash, klo: jax.Array, khi: jax.Array):
+    """Core probe on flat int32 (lo, hi) key halves."""
+    b = int(eh.rows).bit_length() - 1
+    mlo = jnp.int32(_M_LO.astype(np.int32))
+    mhi = jnp.int32(_M_HI.astype(np.int32))
+    h = (klo * mlo) ^ (khi * mhi)                    # int32 wrap == uint32
+    h = (h >> (32 - b)) & (eh.rows - 1)              # masked bits < sign fill
+
+    fetched = eh.table[h]                            # [P, 128] int32 row gather
+    lo_lanes = fetched[:, 0::2]
+    odd_lanes = fetched[:, 1::2]
+    match = (
+        (odd_lanes >= 0)
+        & (lo_lanes == klo[:, None])
+        & ((odd_lanes >> PAYLOAD_BITS) == khi[:, None])
+    )
+    found = jnp.any(match, axis=-1)
+    payload = jnp.sum(
+        jnp.where(match, odd_lanes & _PAYLOAD_MASK, 0), axis=-1, dtype=jnp.int32
+    )
+    return found, payload
 
 
 def probe_edge_hash(eh: EdgeHash, keys: jax.Array):
     """Vectorized membership test: keys int64 (any shape) → (found bool,
     payload int32). Unknown keys return (False, 0)."""
-    table2d = eh.table.reshape(eh.rows, _SLOTS)
-    # signed int64 multiply wraps like uint64; the masked result bits
-    # (< bit 31) are unaffected by the arithmetic shift's sign fill
-    m = jnp.int64(np.int64(_M1.astype(np.int64)))
-    h = ((keys * m) >> 32) & (eh.rows - 1)
-    fetched = table2d[h]                          # keys.shape + (16,) row gather
-    # empty slots (-1) keep -1 under the arithmetic shift and can never
-    # equal a non-negative key
-    match = (fetched >> PAYLOAD_BITS) == keys[..., None]
-    found = jnp.any(match, axis=-1)
-    payload = jnp.sum(
-        jnp.where(match, (fetched & _PAYLOAD_MASK).astype(jnp.int32), 0), axis=-1
-    )
-    return found, payload
+    shape = keys.shape
+    kf = keys.reshape(-1)
+    klo = (kf & 0xFFFFFFFF).astype(jnp.int32)        # bit-identical wrap
+    khi = (kf >> 32).astype(jnp.int32)               # keys >= 0: logical
+    found, payload = _probe_lanes(eh, klo, khi)
+    return found.reshape(shape), payload.reshape(shape)
+
+
+def probe_edge_hash_xy(eh: EdgeHash, x: jax.Array, y: jax.Array, id_bits: int):
+    """Membership test for packed pair keys `(x << id_bits) | y` built
+    entirely in int32 (int64 gathers/multiplies scalarize on TPU): the
+    int32 shift's wrap IS the key's low 32 bits, and the high half is
+    `x >> (32 - id_bits)`. Requires 0 < id_bits < 32 and x, y >= 0."""
+    shape = x.shape
+    xf = x.reshape(-1).astype(jnp.int32)
+    yf = y.reshape(-1).astype(jnp.int32)
+    klo = (xf << id_bits) | yf
+    khi = xf >> (32 - id_bits)
+    found, payload = _probe_lanes(eh, klo, khi)
+    return found.reshape(shape), payload.reshape(shape)
 
 
 jax.tree_util.register_pytree_node(

@@ -9,12 +9,21 @@ with a fused one-hot compare+sum on the VPU at negligible cost.
 
 `table_gather(x, idx)` implements gather as
 
-    x2d = x.reshape(n/W, W)            # layout no-op
+    x2d = x.reshape(n/W, W)
     rows = x2d[idx >> log2(W)]         # row gather (fast path)
     out  = sum(where(lane == idx & (W-1), rows, 0), axis=-1)
 
 Works for any idx shape (broadcasting over the trailing W axis) and any
 int/float dtype. Indices must be in [0, n).
+
+W is 128: a [n/128, 128] table tiles the TPU's (8, 128) layout exactly,
+so the reshape is a true layout no-op. Any W < 128 pads the minor dim to
+128 lanes — XLA then materializes a (128/W)x-padded COPY of the whole
+table per dispatch (an OOM dump showed s32[33M, 8] with "Extra memory
+due to padding: 15.00G (16.0x expansion)" plus a 1GB copy). Measured
+gather cost is flat for W in [8, 128], so the wide row is free; the
+fetched-row intermediate is [M, 128] either way because the narrow
+variants pad to 128 lanes too.
 """
 
 from __future__ import annotations
@@ -22,11 +31,24 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Row width: 8 keeps the fetched-row intermediate small; measured cost is
-# flat for W in [8, 128].
-_W = 8
-_SHIFT = 3
-_MASK = _W - 1
+
+_W = 0  # resolved lazily: probing the backend at import time would
+#         initialize it before test/dryrun code can re-pin the platform
+_SHIFT = 0
+_MASK = 0
+
+
+def _resolve_w() -> int:
+    # 128 on TPU (tile-exact, no padded table copy); 8 elsewhere — CPU
+    # executes the one-hot select literally, so wide rows cost 16x there
+    global _W, _SHIFT, _MASK
+    if _W == 0:
+        try:
+            w = 128 if jax.default_backend() in ("tpu", "axon") else 8
+        except Exception:
+            w = 8
+        _W, _SHIFT, _MASK = w, w.bit_length() - 1, w - 1
+    return _W
 
 
 # Above this many indices the gather is evaluated in statically-unrolled
@@ -49,6 +71,7 @@ def _gather_block(x2d: jax.Array, idx: jax.Array, dtype) -> jax.Array:
 
 def table_gather(x: jax.Array, idx: jax.Array) -> jax.Array:
     """Equivalent to x[idx] (idx int32 in [0, len(x))), ~3x faster on TPU."""
+    _resolve_w()
     n = x.shape[0]
     n_pad = -(-n // _W) * _W
     if n_pad != n:

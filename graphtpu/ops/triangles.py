@@ -42,7 +42,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from graphtpu.ops.edgehash import EdgeHash, build_edge_hash, probe_edge_hash
+from graphtpu.ops.edgehash import EdgeHash, build_edge_hash, probe_edge_hash_xy
 
 # pair-square elements per scan step. The probe's fetched tensor carries
 # a 16-slot minor axis that tile-pads to 128 lanes (8x), so the live
@@ -255,10 +255,9 @@ def _wedge_chunk(sub, msub, ehash, id_bits):
     ii = jax.lax.broadcasted_iota(jnp.int32, (w, w, 1), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (w, w, 1), 1)
     valid = (ii < jj) & (y >= 0)   # slab rows left-packed: y valid => x valid
-    keys = (
-        jnp.maximum(x, 0).astype(jnp.int64) << id_bits
-    ) | jnp.maximum(y, 0).astype(jnp.int64)              # [W, W, Rc]
-    found, m_xy = probe_edge_hash(ehash, keys)
+    xb = jnp.broadcast_to(jnp.maximum(x, 0), (w, w, sub.shape[1]))
+    yb = jnp.broadcast_to(jnp.maximum(y, 0), (w, w, sub.shape[1]))
+    found, m_xy = probe_edge_hash_xy(ehash, xb, yb, id_bits)
     hit = found & valid
 
     u_cred = jnp.sum(
@@ -294,10 +293,29 @@ def lcc_oriented_numerator(plan: WedgePlan) -> np.ndarray:
     n = plan.n
     numerator_ranked = np.zeros(n, dtype=np.int64)
     edge_cred_parts = []
+    # cap the pair count per dispatch: a single compiled call that runs
+    # for minutes trips the TPU worker's watchdog ("worker crashed")
+    max_dispatch_pairs = 1 << 30
     for b in plan.buckets:
-        u_all, e_all = _wedge_bucket(
-            b.slab, b.mslab, plan.ehash, plan.id_bits, b.chunk_cols
+        w, r_pad = b.slab.shape
+        rpd = max(
+            b.chunk_cols,
+            (max_dispatch_pairs // (w * w)) // b.chunk_cols * b.chunk_cols,
         )
+        u_parts, e_parts = [], []
+        for r0 in range(0, r_pad, rpd):
+            r1 = min(r0 + rpd, r_pad)
+            u_c, e_c = _wedge_bucket(
+                jax.lax.slice_in_dim(b.slab, r0, r1, axis=1),
+                jax.lax.slice_in_dim(b.mslab, r0, r1, axis=1),
+                plan.ehash,
+                plan.id_bits,
+                b.chunk_cols,
+            )
+            u_parts.append(u_c)
+            e_parts.append(e_c)
+        u_all = jnp.concatenate(u_parts) if len(u_parts) > 1 else u_parts[0]
+        e_all = jnp.concatenate(e_parts, axis=1) if len(e_parts) > 1 else e_parts[0]
         numerator_ranked[b.rows] += np.asarray(u_all)[: b.r_real].astype(np.int64)
         edge_cred_parts.append(e_all.reshape(-1))
     if edge_cred_parts:

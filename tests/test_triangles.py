@@ -77,12 +77,13 @@ def test_oriented_spill_patch_correctness():
     the host patch must recover the exact sweep answer."""
     import graphtpu.ops.edgehash as ehmod
 
-    g = rmat_graph(7, 12, directed=False, seed=2)
+    g = rmat_graph(9, 12, directed=False, seed=2)
     ref = _sweep(g)
     orig = ehmod.build_edge_hash
     try:
+        # overload the table hard enough that even 64-slot rows overflow
         ehmod.__dict__["build_edge_hash"] = lambda k, p, fill=0.25: orig(
-            k, p, fill=4.0
+            k, p, fill=64.0
         )
         import graphtpu.ops.triangles as tri
 
