@@ -278,8 +278,18 @@ def _aggregate_heads(edge_cred_flat, edge_pos, head_perm, head_indptr):
     from graphtpu.ops.gather import table_gather
     from graphtpu.ops.scan_reduce import seg_sum_scan
 
-    vals = table_gather(edge_cred_flat, edge_pos)
-    ordered = table_gather(vals, head_perm)
+    def chunked_gather(x, idx, chunk=1 << 22):
+        # a [M, 128] fetched-row intermediate at M ~ 30M is ~15 GB if the
+        # select fails to fuse — keep each gather's window ~2 GB
+        m = idx.shape[0]
+        if m <= chunk:
+            return table_gather(x, idx)
+        return jnp.concatenate(
+            [table_gather(x, idx[s : s + chunk]) for s in range(0, m, chunk)]
+        )
+
+    vals = chunked_gather(edge_cred_flat, edge_pos)
+    ordered = chunked_gather(vals, head_perm)
     # f32 lane sums stay exact (row partials < 2^24); f64 across rows and
     # out keeps hub numerators (which exceed 2^24) exact
     return seg_sum_scan(
@@ -287,9 +297,11 @@ def _aggregate_heads(edge_cred_flat, edge_pos, head_perm, head_indptr):
     ).astype(jnp.int64)
 
 
-def lcc_oriented_numerator(plan: WedgePlan) -> np.ndarray:
+def lcc_oriented_numerator(plan: WedgePlan, progress: bool = False) -> np.ndarray:
     """Numerator per ORIGINAL vertex id: Σ over triangles at v of the
     stored-direction multiplicity of the opposite edge."""
+    import time as _time
+
     n = plan.n
     numerator_ranked = np.zeros(n, dtype=np.int64)
     edge_cred_parts = []
@@ -316,7 +328,13 @@ def lcc_oriented_numerator(plan: WedgePlan) -> np.ndarray:
             e_parts.append(e_c)
         u_all = jnp.concatenate(u_parts) if len(u_parts) > 1 else u_parts[0]
         e_all = jnp.concatenate(e_parts, axis=1) if len(e_parts) > 1 else e_parts[0]
+        t0 = _time.perf_counter()
         numerator_ranked[b.rows] += np.asarray(u_all)[: b.r_real].astype(np.int64)
+        if progress:
+            print(
+                f"[lcc] bucket W={w} R_pad={r_pad}: {_time.perf_counter()-t0:.1f}s",
+                flush=True,
+            )
         edge_cred_parts.append(e_all.reshape(-1))
     if edge_cred_parts:
         flat = jnp.concatenate(edge_cred_parts)
@@ -330,8 +348,13 @@ def lcc_oriented_numerator(plan: WedgePlan) -> np.ndarray:
 
 
 def lcc_oriented(graph) -> np.ndarray:
-    """Local clustering coefficients (float64 per original vertex id)."""
-    plan = prepare_wedge_plan(graph)
+    """Local clustering coefficients (float64 per original vertex id).
+    The wedge plan (minutes of single-core host prep at graph scale) is
+    memoized on the Graph so suite repetitions build it once."""
+    plan = getattr(graph, "_wedge_plan", None)
+    if plan is None:
+        plan = prepare_wedge_plan(graph)
+        graph._wedge_plan = plan
     num = lcc_oriented_numerator(plan).astype(np.float64)
     d = plan.deg_s.astype(np.float64)
     denom = d * (d - 1.0)
