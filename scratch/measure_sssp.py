@@ -1,0 +1,59 @@
+"""SSSP at bench scale: adaptive vs dense Bellman-Ford on a weighted
+directed RMAT. Run exclusively."""
+import time
+import numpy as np
+import graphtpu  # noqa: F401
+import jax.numpy as jnp
+
+from graphtpu.ingest import cache as cache_mod
+from graphtpu.algorithms.sssp import _sssp_kernel, sssp_adaptive_run, sssp_adaptive_prep
+from graphtpu.utils.config import PlatformConfig
+from graphtpu.utils.synth import rmat_graph
+
+
+def sync(x):
+    return float(jnp.max(jnp.where(jnp.isinf(x), -1.0, x)))
+
+
+gname = "bench-rmat-s20-ef16-w"
+t0 = time.perf_counter()
+g = None
+if cache_mod.exists("./intermediate", gname):
+    try:
+        g = cache_mod.load("./intermediate", gname)
+    except ValueError:
+        g = None
+if g is None:
+    g = rmat_graph(20, 16, directed=True, weighted=True, seed=7)
+    cache_mod.save(g, "./intermediate", gname)
+print(f"graph ready {time.perf_counter()-t0:.1f}s: {g}", flush=True)
+cfg = PlatformConfig()
+src = 0
+
+# dense kernel
+coo = g.device_pull(wdtype=np.float32)
+indptr = jnp.asarray(g.pull_indptr.astype(np.int32))
+dist_d, it_d = _sssp_kernel(coo.src, coo.dst, indptr, coo.w, jnp.int32(src), g.n)
+sync(dist_d)
+t0 = time.perf_counter()
+dist_d, it_d = _sssp_kernel(coo.src, coo.dst, indptr, coo.w, jnp.int32(src), g.n)
+sync(dist_d)
+dt_d = time.perf_counter() - t0
+print(f"sssp dense  : {dt_d:.3f} s  rounds={int(it_d)}  "
+      f"{g.nnz*int(it_d)/dt_d/1e6:.1f} M relax/s", flush=True)
+
+# adaptive (prep cached on graph after first call)
+sssp_adaptive_prep(g)
+t0 = time.perf_counter()
+dist_a, it_a = sssp_adaptive_run(g, src, cfg)
+print(f"sssp adaptive warmup {time.perf_counter()-t0:.1f}s (rounds={it_a})", flush=True)
+for rep in range(2):
+    t0 = time.perf_counter()
+    dist_a, it_a = sssp_adaptive_run(g, src, cfg)
+    dt = time.perf_counter() - t0
+    print(f"sssp adaptive rep{rep}: {dt:.3f} s  rounds={it_a}", flush=True)
+
+finite = np.isfinite(np.asarray(dist_d))
+same = np.allclose(np.asarray(dist_a)[finite], np.asarray(dist_d)[finite], rtol=1e-5)
+same_inf = bool((np.isinf(np.asarray(dist_a)) == ~finite).all())
+print(f"dist match: {same}  inf match: {same_inf}", flush=True)
