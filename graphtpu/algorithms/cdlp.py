@@ -74,8 +74,12 @@ def _run_extents(c_s: jax.Array, l_s: jax.Array):
     return run_end - run_start + 1
 
 
-@partial(jax.jit, static_argnames=("n", "itermax"))
-def _cdlp_sort_kernel(centers, neigh, deg, n, itermax):
+@partial(jax.jit, static_argnames=("n", "itermax", "skip_checks"))
+def _cdlp_sort_kernel(centers, neigh, deg, n, itermax, skip_checks=0):
+    """skip_checks: assume not-converged for the first k iterations — the
+    reference's optimized_skip_checkequal trick (cdlp_kernel.cu:1254-1271).
+    There it saves a device→host flag copy per iteration; here the loop is
+    one dispatch so it only skips the equality reduction itself."""
     labels0 = jnp.arange(n, dtype=jnp.int32)
     has_neighbors = deg > 0
 
@@ -101,7 +105,7 @@ def _cdlp_sort_kernel(centers, neigh, deg, n, itermax):
             indices_are_sorted=True,
         )
         new = jnp.where(has_neighbors, best_label, labels)
-        changed = jnp.any(new != labels)
+        changed = (it < skip_checks) | jnp.any(new != labels)
         return new, changed, it + 1
 
     labels, _, it = jax.lax.while_loop(
@@ -142,13 +146,18 @@ def cdlp(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> Algorith
         labels, it = cdlp_slab_run(
             graph, centers, neigh, deg, int(params.max_iterations), cfg
         )
-    if impl == "sort":
+    elif impl == "sort":
         labels, it = _cdlp_sort_kernel(
             jnp.asarray(centers),
             jnp.asarray(neigh),
             jnp.asarray(deg),
             graph.n,
             int(params.max_iterations),
+            int(cfg.skip_convergence_checks),
+        )
+    else:
+        raise ValueError(
+            f"unknown cdlp-impl {impl!r}; expected auto|adaptive|adaptive-host|slab|sort"
         )
     communities = graph.mapping[np.asarray(labels)]
     return AlgorithmResult("cdlp", communities, iterations=int(it))

@@ -38,11 +38,43 @@ class AlgorithmResult:
         vals = self.values
         return (f"{mapping[i]} {fmt(vals[i])}" for i in range(graph.n))
 
+    def _columns(self, graph: Graph):
+        """(ids, values) with the per-algorithm output coercions applied
+        array-at-a-time (int64-max unreachable for BFS, bfs.cpp:61)."""
+        vals = np.asarray(self.values)
+        if self.algorithm == "bfs":
+            v = vals.astype(np.int64, copy=False)
+            vals = np.where((v < 0) | (v >= UNREACHABLE), UNREACHABLE, v)
+        elif self.algorithm in ("wcc", "cdlp"):
+            vals = vals.astype(np.uint64, copy=False)
+        else:
+            vals = vals.astype(np.float64, copy=False)
+        return graph.mapping, vals
+
     def write(self, graph: Graph, path: str) -> None:
+        """Serialize `original_id value` per line — vectorized (chunked
+        pandas to_csv: datagen-scale outputs in seconds); formats match
+        the C++ serializers exactly (%.15e scientific for floats,
+        pr.cpp:27-28; literal "infinity" for SSSP, sssp.cpp:45)."""
+        import pandas as pd
+
+        ids, vals = self._columns(graph)
+        chunk = 1 << 21
         with open(path, "w") as f:
-            for line in self.serialize_lines(graph):
-                f.write(line)
-                f.write("\n")
+            for a in range(0, graph.n, chunk):
+                df = pd.DataFrame(
+                    {"id": ids[a : a + chunk], "v": vals[a : a + chunk]},
+                    copy=False,
+                )
+                s = df.to_csv(
+                    None, sep=" ", header=False, index=False, float_format="%.15e"
+                )
+                if self.algorithm == "sssp":
+                    # %.15e renders inf as "inf"; the contract is the
+                    # literal "infinity" (sssp.cpp:45). The value column is
+                    # the only place " inf\n" can appear.
+                    s = s.replace(" inf\n", " infinity\n")
+                f.write(s)
 
 
 def _fmt_int(v) -> str:

@@ -131,14 +131,27 @@ def prepare_lcc(graph: Graph):
 
 @register("lcc")
 def lcc(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> AlgorithmResult:
-    if getattr(cfg, "lcc_impl", "auto") in ("auto", "oriented"):
+    impl = getattr(cfg, "lcc_impl", "auto")
+    if impl in ("auto", "oriented"):
         # degree-oriented wedge enumeration + hash-row membership — the
         # scalable path (~10x less intrinsic work than the sweep and one
         # gather per probe instead of a log(deg) binary search); see
         # graphtpu/ops/triangles.py
         from graphtpu.ops.triangles import lcc_oriented
 
-        return AlgorithmResult("lcc", lcc_oriented(graph))
+        try:
+            return AlgorithmResult("lcc", lcc_oriented(graph))
+        except ValueError:
+            if impl == "oriented":
+                raise
+            # oriented out-degree exceeds the largest wedge bucket (very
+            # high degeneracy) — fall back to the membership sweep, which
+            # has no degree capacity limit
+            from graphtpu.utils.logging import get_logger
+
+            get_logger("lcc").warning(
+                "wedge-plan capacity exceeded; falling back to membership sweep"
+            )
     return _lcc_sweep(graph, cfg)
 
 

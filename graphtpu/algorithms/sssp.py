@@ -265,6 +265,14 @@ def sssp_hybrid_run(graph: Graph, src_dense: int, cfg=None, dtype=np.float32):
 def sssp(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> AlgorithmResult:
     if params.source_vertex is None:
         raise ValueError("sssp requires source-vertex")
+    if params.weight_property not in (None, "weight"):
+        # dataset descriptors name the edge property used as the weight
+        # (graph.<name>.sssp.weight-property); the ingest pipeline stores
+        # exactly one edge property, "weight" (relabel.py:11-23 semantics)
+        raise ValueError(
+            f"unsupported sssp weight-property {params.weight_property!r}; "
+            "only 'weight' exists in the ingested graph"
+        )
     dtype = float_dtype(cfg)
     src_dense = graph.dense_source(params.source_vertex)
     impl = getattr(cfg, "sssp_impl", "auto")

@@ -66,8 +66,13 @@ class GraphTpuPlatform:
 
     def delete_graph(self, graph_name: str) -> None:
         """GraphblasPlatform.deleteGraph — keeps cache artifacts like
-        unload-graph.sh:32-38."""
-        self.graphs.pop(graph_name, None)
+        unload-graph.sh:32-38. In-memory views (including any sharded
+        multi-chip partitions) are released."""
+        g = self.graphs.pop(graph_name, None)
+        if g is not None:
+            from graphtpu.parallel.dispatch import purge_sharded
+
+            purge_sharded(g)
         cache_mod.unload(self.config.intermediate_dir, graph_name)
 
     def prepare(self, spec: GraphSpec, algorithm: str) -> None:

@@ -83,6 +83,7 @@ def load_pull(
         or manifest.get("num_devices") != sg.num_devices
         or manifest.get("n") != sg.n
         or manifest.get("rows_per_dev") != sg.rows_per_dev
+        or manifest.get("wdtype") != sg.wdtype.name
     ):
         log.warning("sharded checkpoint at %s incompatible — ignoring", d)
         return None

@@ -24,6 +24,14 @@ log = get_logger("dispatch")
 _sharded_cache: dict = {}
 
 
+def purge_sharded(graph: Graph) -> None:
+    """Release the sharded views of `graph` (host + device shards).
+    Called from GraphTpuPlatform.delete_graph so multi-graph suite runs
+    don't accumulate every graph ever benchmarked."""
+    for key in [k for k in _sharded_cache if k[0] == id(graph)]:
+        del _sharded_cache[key]
+
+
 def _sharded(graph: Graph, cfg: PlatformConfig, wdtype) -> ShardedGraph:
     key = (id(graph), cfg.num_devices, np.dtype(wdtype).name)
     sg = _sharded_cache.get(key)

@@ -41,7 +41,7 @@ class AlgorithmParams:
     max_iterations: Optional[int] = None       # cdlp.
     damping_factor: Optional[float] = None     # pr.
     num_iterations: Optional[int] = None       # pr.
-    weight_property: Optional[str] = None      # sssp.
+    weight_property: Optional[str] = None      # sssp. (must name "weight")
 
 
 @dataclasses.dataclass
@@ -161,8 +161,8 @@ class PlatformConfig:
     slab_buckets: Optional[tuple] = None
     # device mesh axis size for row-partitioned multi-chip execution (0 = all)
     num_devices: int = 0
-    # skip convergence checks for the first k iterations
-    # (reference trick: optimized_skip_checkequal, cdlp_kernel.cu:1254-1271)
+    # assume not-converged for the first k CDLP iterations (sort impl) —
+    # the reference's optimized_skip_checkequal (cdlp_kernel.cu:1254-1271)
     skip_convergence_checks: int = 0
     # write a jax.profiler trace of each processing window here
     # (TPU analogue of the reference's nested scoped timers + CUDA events)
@@ -195,6 +195,7 @@ class PlatformConfig:
             "platform.graphtpu.wcc-frontier-rows": ("wcc_frontier_rows", int),
             "platform.graphtpu.wcc-frontier-edges": ("wcc_frontier_edges", int),
             "platform.graphtpu.num-devices": ("num_devices", int),
+            "platform.graphtpu.skip-convergence-checks": ("skip_convergence_checks", int),
             "platform.graphtpu.profile-dir": ("profile_dir", str),
         }
         for key, (attr, cast) in m.items():
