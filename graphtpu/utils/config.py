@@ -242,10 +242,18 @@ class BenchmarkConfig:
             )
         if "benchmark.custom.repetitions" in props:
             cfg.repetitions = int(props["benchmark.custom.repetitions"])
+        # dataset paths resolve relative to the properties file itself (not
+        # the process cwd) so a checked-in config can name the vendored
+        # fixtures portably; absolute paths pass through unchanged
+        base = os.path.dirname(os.path.abspath(path))
         if "graphs.root-directory" in props:
-            cfg.graphs_root = props["graphs.root-directory"]
+            cfg.graphs_root = os.path.normpath(
+                os.path.join(base, props["graphs.root-directory"])
+            )
         if "graphs.validation-directory" in props:
-            cfg.validation_dir = props["graphs.validation-directory"]
+            cfg.validation_dir = os.path.normpath(
+                os.path.join(base, props["graphs.validation-directory"])
+            )
         if "benchmark.output-directory" in props:
             cfg.output_dir = props["benchmark.output-directory"]
         if "benchmark.report-directory" in props:

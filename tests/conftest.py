@@ -25,7 +25,15 @@ from pathlib import Path
 
 import pytest
 
-FIXTURES = Path("/root/reference/example-data-sets/graphs")
+# Graphalytics micro-graph fixtures (vendored copies of the reference's
+# example-data-sets/graphs — SURVEY.md §4 says to copy them so the suite
+# is self-contained). GRAPHTPU_FIXTURES overrides, e.g. to point back at
+# /root/reference/example-data-sets/graphs.
+FIXTURES = Path(
+    os.environ.get(
+        "GRAPHTPU_FIXTURES", str(Path(__file__).parent / "fixtures" / "graphs")
+    )
+)
 
 
 @pytest.fixture(scope="session")

@@ -18,7 +18,7 @@ from graphtpu.harness.validator import validate_result
 from graphtpu.ingest.loader import load_graph_from_spec
 from graphtpu.utils.config import GraphSpec, PlatformConfig
 
-FIXTURES = Path("/root/reference/example-data-sets/graphs")
+from conftest import FIXTURES
 
 ALGO_SUFFIX = {
     "bfs": "BFS",

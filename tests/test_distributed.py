@@ -20,7 +20,7 @@ from graphtpu.core.types import INT32_INF, UNREACHABLE
 from graphtpu.utils.config import GraphSpec, PlatformConfig
 from graphtpu.utils.synth import uniform_graph
 
-FIXTURES = Path("/root/reference/example-data-sets/graphs")
+from conftest import FIXTURES
 
 ALGO_SUFFIX = {"bfs": "BFS", "pr": "PR", "wcc": "WCC", "cdlp": "CDLP", "sssp": "SSSP", "lcc": "LCC"}
 

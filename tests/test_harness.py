@@ -11,7 +11,7 @@ from graphtpu.harness.collector import Collector, ceil3
 from graphtpu.harness.suite import BenchmarkSuite
 from graphtpu.utils.config import BenchmarkConfig, GraphSpec, PlatformConfig
 
-FIXTURES = Path("/root/reference/example-data-sets/graphs")
+from conftest import FIXTURES
 REPO = Path(__file__).resolve().parent.parent
 
 

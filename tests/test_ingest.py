@@ -18,7 +18,7 @@ from graphtpu.ingest.relabel import (
     relabel,
 )
 
-FIXTURES = Path("/root/reference/example-data-sets/graphs")
+from conftest import FIXTURES
 
 
 @pytest.fixture(scope="module")

@@ -11,7 +11,7 @@ from graphtpu.core.spops import spmv
 from graphtpu.ops.spmv import build_pull_plan, slab_spmv
 from graphtpu.utils.synth import rmat_graph, uniform_graph
 
-FIXTURES = Path("/root/reference/example-data-sets/graphs")
+from conftest import FIXTURES
 
 
 @pytest.mark.parametrize("semiring", [PLUS_TIMES, MIN_PLUS, PLUS_SECOND])
