@@ -142,6 +142,13 @@ def run_algorithm(
         raise ValueError(f"unknown algorithm {name!r}; have {sorted(ALGORITHMS)}")
     params = params or AlgorithmParams()
     cfg = cfg or PlatformConfig()
+    if getattr(cfg, "fault_injection", None) == f"hang:{name}":
+        # failure-detection test hook (platform.graphtpu.fault-injection):
+        # simulate a wedged kernel so timeout/kill paths can be exercised
+        import time as _time
+
+        while True:
+            _time.sleep(3600)
     with ComputationTimer(f"Processing ({name})"):
         if cfg.num_devices > 1:
             from graphtpu.parallel.dispatch import try_run_distributed

@@ -66,6 +66,9 @@ class Graph:
         self.n = int(n)
         self.directed = bool(directed)
         self.weighted = bool(weighted)
+        # dataset name when loaded through the ingest cache (keys the
+        # sharded-partition checkpoint; None for ad-hoc graphs)
+        self.name: Optional[str] = None
         self.mapping = np.asarray(mapping, dtype=ORIGINAL_ID_DTYPE)
 
         src = np.asarray(src, dtype=INDEX_DTYPE)

@@ -125,6 +125,8 @@ class BenchmarkSuite:
             makespan_seconds=-1.0,
             iterations=None,
         )
+        if self.cfg.job_isolation == "subprocess":
+            return self._run_one_subprocess(spec, algorithm, repetition, rec, t0)
         try:
             with _alarm(self.cfg.timeout_seconds):
                 graph = self.platform.graphs.get(spec.name) or self.platform.load_graph(spec)
@@ -156,6 +158,61 @@ class BenchmarkSuite:
             rec.error = f"timeout after {self.cfg.timeout_seconds}s"
         except Exception as e:  # noqa: BLE001 — suite must survive job failures
             rec.error = f"{type(e).__name__}: {e}"
+        rec.makespan_seconds = round(time.perf_counter() - t0, 3)
+        self.records.append(rec)
+        status = "OK" if rec.success and rec.validated in (True, None) else "FAIL"
+        log.info(
+            "[%s] %s/%s rep %d: t=%.3fs validated=%s %s",
+            status, spec.name, algorithm, repetition,
+            rec.processing_time_seconds, rec.validated, rec.error,
+        )
+        return rec
+
+    def _run_one_subprocess(
+        self, spec: GraphSpec, algorithm: str, repetition: int, rec: RunRecord, t0: float
+    ) -> RunRecord:
+        """Killable job execution (benchmark.custom.job-isolation =
+        subprocess): the reference harness's process model, where a hung
+        job is killed at benchmark.custom.timeout via its pid file."""
+        from graphtpu.harness.jobproc import run_job
+        from graphtpu.harness.validator import validate_files
+
+        out_path: Optional[Path] = None
+        if self.cfg.output_required or self.cfg.validation_required:
+            out_dir = Path(self.cfg.output_dir)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            out_path = out_dir / f"{spec.name}-{ALGO_SUFFIX[algorithm]}"
+
+        job_log = Path(self.cfg.report_dir) / "log" / f"{spec.name}-{algorithm}-r{repetition}"
+        spec_path = Path(self.cfg.graphs_root) / f"{spec.name}.properties"
+        outcome = run_job(
+            str(spec_path),
+            algorithm,
+            self.platform.config,
+            log_dir=str(job_log),
+            output_file=str(out_path) if out_path else None,
+            timeout_seconds=self.cfg.timeout_seconds,
+            stream=self.platform.collector.stream,
+        )
+        if outcome.status == "timeout":
+            rec.error = f"timeout after {self.cfg.timeout_seconds}s (job killed)"
+        elif outcome.status == "error":
+            rec.error = outcome.error
+        else:
+            rec.success = True
+            rec.processing_time_seconds = ceil3(outcome.processing_ms / 1000.0)
+            rec.iterations = outcome.iterations
+            if self.cfg.validation_required and out_path is not None:
+                golden = self._golden_path(spec, algorithm)
+                if golden is None:
+                    log.warning(
+                        "no golden file for %s/%s — skipping validation", spec.name, algorithm
+                    )
+                else:
+                    ok, msg = validate_files(algorithm, str(out_path), str(golden))
+                    rec.validated = ok
+                    if not ok:
+                        rec.error = f"validation failed: {msg}"
         rec.makespan_seconds = round(time.perf_counter() - t0, 3)
         self.records.append(rec)
         status = "OK" if rec.success and rec.validated in (True, None) else "FAIL"

@@ -33,11 +33,15 @@ def load_graph(
     if cacheable and cache_mod.exists(intermediate_dir, graph_name):
         try:
             with ComputationTimer("Loading the graph from binary cache"):
-                return cache_mod.load(intermediate_dir, graph_name)
+                g = cache_mod.load(intermediate_dir, graph_name)
+                g.name = graph_name
+                return g
         except ValueError as e:  # stale cache version — rebuild
             log.warning("cache rejected (%s); re-ingesting", e)
     with ComputationTimer("Loading the graph"):
         g = relabel(vertex_path, edge_path, directed, weighted)
+    if graph_name is not None:
+        g.name = graph_name
     if cacheable:
         cache_mod.save(g, intermediate_dir, graph_name)
     return g

@@ -3,10 +3,15 @@
 The reference caches ingest artifacts with a skip-if-exists contract
 (load-graph.sh:50-67, unload-graph.sh keeps them); SURVEY.md §5.4 maps
 that to persisting the *partitioned* CSR for multi-chip runs so repeat
-benchmarks skip both text parsing and repartitioning. One .npz per mesh
-shard plus a manifest; shards are loaded host-side and placed onto their
-devices (per-shard files keep multi-host loading local: each process
-reads only the shards of its addressable devices).
+benchmarks skip repartitioning. One compressed .npz per mesh shard plus
+a manifest; shards are loaded host-side and placed onto their devices
+(per-shard files keep multi-host loading local: each process reads only
+the shards of its addressable devices).
+
+Storage is minimal: src + dst_local only, plus per-shard edge counts in
+the manifest (the `valid` mask is derivable) and weights only for
+weighted graphs (unweighted edges are all 1.0). Compression matters on
+this filesystem (~10 MB/s): sorted int32 streams deflate well.
 """
 
 from __future__ import annotations
@@ -25,7 +30,7 @@ from graphtpu.utils.logging import get_logger
 log = get_logger("ckpt")
 
 MANIFEST = "manifest.json"
-CKPT_VERSION = 1
+CKPT_VERSION = 2
 
 
 def _dir(intermediate_dir, graph_name: str, num_devices: int) -> Path:
@@ -36,24 +41,32 @@ def exists(intermediate_dir, graph_name: str, num_devices: int) -> bool:
     return (_dir(intermediate_dir, graph_name, num_devices) / MANIFEST).exists()
 
 
+def _shards_by_device(arr: jax.Array) -> dict:
+    return {
+        (s.index[0].start or 0): np.asarray(s.data)[0]
+        for s in arr.addressable_shards
+    }
+
+
 def save_pull(sg: ShardedGraph, intermediate_dir, graph_name: str) -> Path:
     """Persist the pull partition of `sg` (one npz per device shard)."""
     d = _dir(intermediate_dir, graph_name, sg.num_devices)
     d.mkdir(parents=True, exist_ok=True)
     coo = sg.pull()
-    arrays = {"src": coo.src, "dst_local": coo.dst_local, "w": coo.w, "valid": coo.valid}
-    per_dev: dict = {}
-    for k, v in arrays.items():
-        shards = sorted(
-            v.addressable_shards, key=lambda s: s.index[0].start or 0
-        )
-        per_dev[k] = {(s.index[0].start or 0): np.asarray(s.data)[0] for s in shards}
-    for dev in sorted(per_dev["src"]):
-        np.savez(
-            d / f"shard-{dev}.tmp.npz",
-            **{k: per_dev[k][dev] for k in arrays},
-        )
-        (d / f"shard-{dev}.tmp.npz").replace(d / f"shard-{dev}.npz")
+    weighted = bool(sg.graph.weighted)
+    src = _shards_by_device(coo.src)
+    dst = _shards_by_device(coo.dst_local)
+    w = _shards_by_device(coo.w) if weighted else {}
+    valid = _shards_by_device(coo.valid)
+    counts = {}
+    for dev in sorted(src):
+        counts[dev] = int(valid[dev].sum())
+        arrays = {"src": src[dev], "dst_local": dst[dev]}
+        if weighted:
+            arrays["w"] = w[dev]
+        tmp = d / f"shard-{dev}.tmp.npz"
+        np.savez_compressed(tmp, **arrays)
+        tmp.replace(d / f"shard-{dev}.npz")
     manifest = {
         "version": CKPT_VERSION,
         "num_devices": sg.num_devices,
@@ -61,7 +74,9 @@ def save_pull(sg: ShardedGraph, intermediate_dir, graph_name: str) -> Path:
         "n_pad": sg.n_pad,
         "rows_per_dev": sg.rows_per_dev,
         "wdtype": sg.wdtype.name,
+        "weighted": weighted,
         "edges_per_dev": int(coo.src.shape[1]),
+        "counts": [counts[dev] for dev in sorted(counts)],
     }
     (d / MANIFEST).write_text(json.dumps(manifest, indent=2))
     log.info("sharded checkpoint written: %s (%d shards)", d, sg.num_devices)
@@ -84,14 +99,25 @@ def load_pull(
         or manifest.get("n") != sg.n
         or manifest.get("rows_per_dev") != sg.rows_per_dev
         or manifest.get("wdtype") != sg.wdtype.name
+        or manifest.get("weighted") != bool(sg.graph.weighted)
     ):
         log.warning("sharded checkpoint at %s incompatible — ignoring", d)
         return None
+    weighted = manifest["weighted"]
+    counts = manifest["counts"]
+    m_pad = manifest["edges_per_dev"]
     cols = {"src": [], "dst_local": [], "w": [], "valid": []}
     for dev in range(sg.num_devices):
         with np.load(d / f"shard-{dev}.npz") as z:
-            for k in cols:
-                cols[k].append(z[k])
+            cols["src"].append(z["src"])
+            cols["dst_local"].append(z["dst_local"])
+            if weighted:
+                cols["w"].append(z["w"])
+            else:
+                cols["w"].append(np.ones(m_pad, dtype=sg.wdtype))
+        valid = np.zeros(m_pad, dtype=bool)
+        valid[: counts[dev]] = True
+        cols["valid"].append(valid)
     put = lambda parts: jax.device_put(
         jnp.asarray(np.stack(parts)), sg.edge_sharding
     )

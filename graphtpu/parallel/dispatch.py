@@ -38,6 +38,8 @@ def _sharded(graph: Graph, cfg: PlatformConfig, wdtype) -> ShardedGraph:
     if sg is None:
         mesh = make_mesh(cfg.num_devices)
         sg = ShardedGraph(graph, mesh, wdtype=wdtype)
+        if cfg.shard_checkpoints and getattr(graph, "name", None):
+            sg.ckpt = (cfg.intermediate_dir, graph.name)
         _sharded_cache[key] = sg
     return sg
 

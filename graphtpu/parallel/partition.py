@@ -110,6 +110,10 @@ class ShardedGraph:
         self._pull: Optional[ShardedCOO] = None
         self._pull_sym: Optional[ShardedCOO] = None
         self._incidence: Optional[ShardedIncidence] = None
+        # (intermediate_dir, graph_name) — when set, pull() restores the
+        # partition from the sharded checkpoint and persists it after a
+        # fresh build (SURVEY.md §5.4 skip-if-exists contract)
+        self.ckpt: Optional[tuple] = None
 
     # -- shardings ---------------------------------------------------------
 
@@ -145,9 +149,20 @@ class ShardedGraph:
         return ShardedCOO(put(cols["src"]), put(dst_local), put(cols["w"]), put(valid))
 
     def pull(self) -> ShardedCOO:
-        """Pull-ordered edges of the graph itself."""
+        """Pull-ordered edges of the graph itself. With `ckpt` set, a
+        saved partition is restored instead of repartitioning, and a
+        fresh build is persisted for the next run."""
         if self._pull is None:
-            self._pull = self._build_pull(self.graph)
+            if self.ckpt is not None:
+                from graphtpu.parallel import checkpoint as ckpt_mod
+
+                self._pull = ckpt_mod.load_pull(self, *self.ckpt)
+            if self._pull is None:
+                self._pull = self._build_pull(self.graph)
+                if self.ckpt is not None:
+                    from graphtpu.parallel import checkpoint as ckpt_mod
+
+                    ckpt_mod.save_pull(self, *self.ckpt)
         return self._pull
 
     def pull_symmetrized(self) -> ShardedCOO:

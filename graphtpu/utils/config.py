@@ -161,6 +161,10 @@ class PlatformConfig:
     slab_buckets: Optional[tuple] = None
     # device mesh axis size for row-partitioned multi-chip execution (0 = all)
     num_devices: int = 0
+    # persist/restore the sharded pull partition under
+    # intermediate/<graph>/shards-<D>/ (skip-if-exists, like the ingest
+    # cache) so repeat distributed runs skip repartitioning
+    shard_checkpoints: bool = True
     # assume not-converged for the first k CDLP iterations (sort impl) —
     # the reference's optimized_skip_checkequal (cdlp_kernel.cu:1254-1271)
     skip_convergence_checks: int = 0
@@ -170,38 +174,62 @@ class PlatformConfig:
     # per-iteration device timing: print "[TPU][TIMER] <algo> iter k took Xms"
     # lines (analogue of common/utils.hpp:344-382's CUDA-event queue)
     iteration_timing: bool = False
+    # failure-detection test hook: "hang:<algo>" makes that algorithm job
+    # block forever, to exercise timeout/kill paths (the reference has no
+    # fault injection — SURVEY.md §5.3; this is the TPU build's addition)
+    fault_injection: Optional[str] = None
 
     @classmethod
     def from_properties(cls, path: str | os.PathLike) -> "PlatformConfig":
         props = parse_properties(path)
         cfg = cls()
-        m = {
-            "platform.graphtpu.intermediate-dir": ("intermediate_dir", str),
-            "platform.graphtpu.precision": ("precision", str),
-            "platform.graphtpu.spmv-impl": ("spmv_impl", str),
-            "platform.graphtpu.pr-impl": ("pr_impl", str),
-            "platform.graphtpu.cdlp-impl": ("cdlp_impl", str),
-            "platform.graphtpu.cdlp-active-threshold": ("cdlp_active_threshold", float),
-            "platform.graphtpu.cdlp-frontier-rows": ("cdlp_frontier_rows", int),
-            "platform.graphtpu.cdlp-frontier-edges": ("cdlp_frontier_edges", int),
-            "platform.graphtpu.bfs-impl": ("bfs_impl", str),
-            "platform.graphtpu.bfs-active-threshold": ("bfs_active_threshold", float),
-            "platform.graphtpu.bfs-frontier-rows": ("bfs_frontier_rows", int),
-            "platform.graphtpu.bfs-frontier-edges": ("bfs_frontier_edges", int),
-            "platform.graphtpu.lcc-impl": ("lcc_impl", str),
-            "platform.graphtpu.sssp-impl": ("sssp_impl", str),
-            "platform.graphtpu.sssp-active-threshold": ("sssp_active_threshold", float),
-            "platform.graphtpu.wcc-impl": ("wcc_impl", str),
-            "platform.graphtpu.wcc-frontier-rows": ("wcc_frontier_rows", int),
-            "platform.graphtpu.wcc-frontier-edges": ("wcc_frontier_edges", int),
-            "platform.graphtpu.num-devices": ("num_devices", int),
-            "platform.graphtpu.skip-convergence-checks": ("skip_convergence_checks", int),
-            "platform.graphtpu.profile-dir": ("profile_dir", str),
-        }
-        for key, (attr, cast) in m.items():
+        for key, (attr, cast) in _PLATFORM_PROPS.items():
             if key in props:
                 setattr(cfg, attr, cast(props[key]))
         return cfg
+
+    def to_properties(self, path: str | os.PathLike) -> None:
+        """Serialize to a platform.properties file (the inverse of
+        from_properties) — used to forward the full platform config to
+        subprocess-isolated jobs."""
+        defaults = PlatformConfig()
+        lines = []
+        for key, (attr, _cast) in _PLATFORM_PROPS.items():
+            v = getattr(self, attr)
+            if v is None or v == getattr(defaults, attr):
+                continue
+            lines.append(f"{key} = {v}")
+        Path(path).write_text("\n".join(lines) + "\n")
+
+
+_PLATFORM_PROPS = {
+    "platform.graphtpu.intermediate-dir": ("intermediate_dir", str),
+    "platform.graphtpu.precision": ("precision", str),
+    "platform.graphtpu.spmv-impl": ("spmv_impl", str),
+    "platform.graphtpu.pr-impl": ("pr_impl", str),
+    "platform.graphtpu.cdlp-impl": ("cdlp_impl", str),
+    "platform.graphtpu.cdlp-active-threshold": ("cdlp_active_threshold", float),
+    "platform.graphtpu.cdlp-frontier-rows": ("cdlp_frontier_rows", int),
+    "platform.graphtpu.cdlp-frontier-edges": ("cdlp_frontier_edges", int),
+    "platform.graphtpu.bfs-impl": ("bfs_impl", str),
+    "platform.graphtpu.bfs-active-threshold": ("bfs_active_threshold", float),
+    "platform.graphtpu.bfs-frontier-rows": ("bfs_frontier_rows", int),
+    "platform.graphtpu.bfs-frontier-edges": ("bfs_frontier_edges", int),
+    "platform.graphtpu.lcc-impl": ("lcc_impl", str),
+    "platform.graphtpu.sssp-impl": ("sssp_impl", str),
+    "platform.graphtpu.sssp-active-threshold": ("sssp_active_threshold", float),
+    "platform.graphtpu.wcc-impl": ("wcc_impl", str),
+    "platform.graphtpu.wcc-frontier-rows": ("wcc_frontier_rows", int),
+    "platform.graphtpu.wcc-frontier-edges": ("wcc_frontier_edges", int),
+    "platform.graphtpu.num-devices": ("num_devices", int),
+    "platform.graphtpu.shard-checkpoints": (
+        "shard_checkpoints",
+        lambda v: str(v).lower() == "true",
+    ),
+    "platform.graphtpu.skip-convergence-checks": ("skip_convergence_checks", int),
+    "platform.graphtpu.profile-dir": ("profile_dir", str),
+    "platform.graphtpu.fault-injection": ("fault_injection", str),
+}
 
 
 @dataclasses.dataclass
@@ -215,6 +243,13 @@ class BenchmarkConfig:
     output_required: bool = True
     validation_required: bool = True
     repetitions: int = 1
+    # "inprocess": jobs run in the suite process (fast — graph/device state
+    #   is reused across repetitions; timeout is best-effort SIGALRM, which
+    #   cannot interrupt a single-dispatch device kernel).
+    # "subprocess": each job runs as a killable child process with its pid
+    #   written to <log>/executable.pid, and is SIGKILLed at the timeout —
+    #   the reference harness's contract (execute-job.sh:150).
+    job_isolation: str = "inprocess"
     graphs_root: str = "."
     output_dir: str = "./output"
     validation_dir: Optional[str] = None
@@ -242,6 +277,11 @@ class BenchmarkConfig:
             )
         if "benchmark.custom.repetitions" in props:
             cfg.repetitions = int(props["benchmark.custom.repetitions"])
+        if "benchmark.custom.job-isolation" in props:
+            v = props["benchmark.custom.job-isolation"].lower()
+            if v not in ("inprocess", "subprocess"):
+                raise ValueError(f"benchmark.custom.job-isolation: unknown mode {v!r}")
+            cfg.job_isolation = v
         # dataset paths resolve relative to the properties file itself (not
         # the process cwd) so a checked-in config can name the vendored
         # fixtures portably; absolute paths pass through unchanged
