@@ -80,19 +80,37 @@ def _bfs_dense_step(levels, frontier, level, edges_src, edges_dst, indptr, n, im
     return levels, new_frontier
 
 
-@partial(jax.jit, static_argnames=("n", "k_cap", "e_cap", "impl"))
+@partial(
+    jax.jit,
+    static_argnames=("n", "t_trunc", "k_cap", "e_cap", "k_bu", "e_bu", "impl"),
+)
 def _bfs_adaptive_kernel(
     levels0, frontier0_id, edges_src, edges_dst, pull_indptr,
-    deg_pad, push_indptr, push_dst, n, k_cap, e_cap, impl="scan",
+    deg_pad, push_indptr, push_dst, pull_deg_pad, trunc_tbl,
+    n, t_trunc, k_cap, e_cap, k_bu, e_bu, impl="scan",
 ):
-    """Single-dispatch direction-optimizing BFS: sparse frontiers expand
-    on device through the compacted frontier engine
-    (graphtpu/ops/frontier.py) over the push CSR; frontiers whose
-    out-edges exceed the static capacity run the dense pull step. Two
-    nested phase loops (a lax.cond in the body would schedule both
-    branches every level on TPU). One dispatch for the whole traversal —
-    the host-driven hybrid pays per-level host↔device transfers, which
-    this environment's TPU relay makes dominant."""
+    """Single-dispatch direction-optimizing BFS, the TPU counterpart of
+    LAGr_BreadthFirstSearch's push/pull switching (bfs.cpp:76-80). Three
+    phases as nested while_loops (a lax.cond in a loop body would
+    schedule both branches every level on TPU):
+
+    * push — small frontiers expand through the compacted frontier
+      engine over the push CSR (out-edges);
+    * truncated bottom-up — heavy levels claim unvisited rows by testing
+      only their first `t_trunc` in-neighbors in one gather of
+      t_trunc*n indices (pull CSR segments are sorted by id, so the
+      lowest-id in-neighbors — which on RMAT graphs skew toward hubs,
+      reached early — are the ones probed); rows the truncated probe
+      misses are compacted and their full in-edge lists checked through
+      the frontier engine;
+    * dense pull fallback — a full-edge gather + segment reduce, only
+      when the bottom-up residual overflows its static capacities.
+
+    One dispatch for the whole traversal — the host-driven hybrid pays
+    per-level host↔device transfers, which this environment's TPU relay
+    makes dominant. Measured at RMAT s20/ef32 from a hub source: push
+    handles levels 0/3/4, bottom-up levels 1/2 (the truncated probe
+    claims 100% of reachable rows there), dense never runs."""
     from graphtpu.ops.frontier import (
         compact,
         compact_stream,
@@ -102,22 +120,67 @@ def _bfs_adaptive_kernel(
     from graphtpu.ops.gather import table_gather
 
     deg_n = deg_pad[:-1]
+    pdeg_n = pull_deg_pad[:-1]
 
-    def derive(frontier_mask):
-        ids, cnt = compact(frontier_mask, k_cap)
-        fe = jnp.sum(jnp.where(frontier_mask, deg_n, 0), dtype=jnp.int32)
-        ok = (cnt <= k_cap) & (fe <= e_cap)
-        return ids, ok, cnt > 0
+    def status(levels, level):
+        """Compacted frontier ids + phase flags for `levels == level`."""
+        fmask = levels == level
+        ids, cnt = compact(fmask, k_cap)
+        fe = jnp.sum(jnp.where(fmask, deg_n, 0), dtype=jnp.int32)
+        push_ok = (cnt <= k_cap) & (fe <= e_cap)
+        return ids, push_ok, cnt > 0
 
     def full_step(levels, level):
         # the frontier IS the set of vertices at the current level — no
         # mask state has to survive across phases
         fmask = (levels == level).astype(jnp.int32)
-        levels, new_frontier = _bfs_dense_step(
+        levels, _ = _bfs_dense_step(
             levels, fmask, level, edges_src, edges_dst, pull_indptr, n, impl,
         )
-        ids, ok, nonempty = derive(new_frontier == 1)
-        return levels, ids, ok, nonempty
+        ids, push_ok, nonempty = status(levels, level + 1)
+        return levels, ids, push_ok, nonempty
+
+    def bu_step(levels, level):
+        """Truncated bottom-up: claim unvisited rows whose first t_trunc
+        in-neighbors hit the frontier (one gather of t_trunc*n indices);
+        rows with deg > t_trunc that the probe missed get their full
+        in-edge lists checked through the frontier engine. Aborts
+        (levels unchanged, level not counted) when that residual
+        overflows k_bu/e_bu — the dense phase then redoes the level."""
+        fmask_pad = jnp.concatenate(
+            [(levels == level).astype(jnp.int32), jnp.zeros((1,), jnp.int32)]
+        )
+        hit = jnp.max(
+            table_gather(fmask_pad, trunc_tbl).reshape(t_trunc, n), axis=0
+        )
+        unvis = levels == INT32_INF
+        claim_trunc = unvis & (hit == 1)
+        resid_mask = unvis & (pdeg_n > t_trunc) & (hit == 0)
+        rids, rcnt = compact(resid_mask, k_bu)
+        fe_r = frontier_deg_sum(rids, pull_deg_pad)
+        ok = (rcnt <= k_bu) & (fe_r <= e_bu)
+        exp = expand(rids, pull_deg_pad, pull_indptr, edges_src, e_bu)
+        rhit = (exp.valid & (table_gather(fmask_pad, exp.neigh) == 1)).astype(
+            jnp.int32
+        )
+        # segment-any per residual row: the expansion stream is ordered
+        # by frontier slot, so a cumsum + boundary diff replaces a
+        # 30 ns/el scatter
+        cs = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(rhit, dtype=jnp.int32)]
+        )
+        seg_hits = table_gather(cs, exp.seg_starts[1:]) - table_gather(
+            cs, exp.seg_starts[:-1]
+        )
+        claimed_ids = jnp.where(seg_hits > 0, rids, jnp.int32(n))
+        updated = jnp.where(claim_trunc, level + 1, levels)
+        updated = updated.at[claimed_ids].set(level + 1, mode="drop")
+        levels = jnp.where(ok, updated, levels)
+        ids, push_ok, nonempty = status(levels, level + 1)
+        # on abort the frontier at `level` is untouched and definitely
+        # nonempty — don't let the empty level+1 status end the traversal
+        nonempty = jnp.where(ok, nonempty, True)
+        return levels, ids, push_ok, nonempty, ok
 
     def active_step(levels, ids, level):
         exp = expand(ids, deg_pad, push_indptr, push_dst, e_cap)
@@ -130,8 +193,7 @@ def _bfs_adaptive_kernel(
         ids2, cnt = compact_stream(exp.neigh, unvisited, k_cap, n)
         # if the new frontier overflows K, ids2 is truncated and the
         # update would be incomplete: abort the step (levels unchanged,
-        # level not counted) and let the full phase redo it densely —
-        # the dense step reconstructs the frontier from levels == level
+        # level not counted) — the bottom-up/dense phases redo the level
         applied = cnt <= k_cap
         updated = levels.at[ids2].set(level + 1, mode="drop")
         levels = jnp.where(applied, updated, levels)
@@ -139,43 +201,69 @@ def _bfs_adaptive_kernel(
         ok = applied & (fe <= e_cap)
         return levels, ids2, ok, cnt > 0, applied
 
-    def full_phase(state):
+    # state: (levels, ids, push_ok, bu_failed, nonempty, level)
+    def push_phase(state):
         def cond(s):
-            _, _, ok, nonempty, level = s
-            return nonempty & (~ok) & (level < n)
+            _, _, push_ok, _, nonempty, level = s
+            return nonempty & push_ok & (level < n)
 
         def body(s):
-            levels, ids, _, _, level = s
-            levels, nids, ok, nonempty = full_step(levels, level)
-            return levels, nids, ok, nonempty, level + 1
+            levels, ids, _, _, _, level = s
+            levels, nids, push_ok, nonempty, applied = active_step(
+                levels, ids, level
+            )
+            return (
+                levels, nids, push_ok, jnp.bool_(False), nonempty,
+                level + jnp.where(applied, 1, 0),
+            )
 
         return jax.lax.while_loop(cond, body, state)
 
-    def active_phase(state):
+    def bu_phase(state):
         def cond(s):
-            _, _, ok, nonempty, level = s
-            return nonempty & ok & (level < n)
+            _, _, push_ok, bu_failed, nonempty, level = s
+            return nonempty & (~push_ok) & (~bu_failed) & (level < n)
 
         def body(s):
-            levels, ids, _, _, level = s
-            levels, nids, ok, nonempty, applied = active_step(levels, ids, level)
-            return levels, nids, ok, nonempty, level + jnp.where(applied, 1, 0)
+            levels, _, _, _, _, level = s
+            levels, nids, push_ok, nonempty, applied = bu_step(levels, level)
+            return (
+                levels, nids, push_ok, ~applied, nonempty,
+                level + jnp.where(applied, 1, 0),
+            )
 
         return jax.lax.while_loop(cond, body, state)
 
-    fmask0 = jnp.zeros((n,), bool).at[frontier0_id].set(True)
-    ids0, ok0, nonempty0 = derive(fmask0)
-    state = (levels0, ids0, ok0, nonempty0, jnp.int32(0))
+    def dense_phase(state):
+        def cond(s):
+            _, _, push_ok, bu_failed, nonempty, level = s
+            return nonempty & (~push_ok) & bu_failed & (level < n)
+
+        def body(s):
+            levels, _, _, _, _, level = s
+            levels, nids, push_ok, nonempty = full_step(levels, level)
+            # clearing bu_failed exits this phase after one step and
+            # lets the bottom-up phase retry at the next level
+            return levels, nids, push_ok, jnp.bool_(False), nonempty, level + 1
+
+        return jax.lax.while_loop(cond, body, state)
+
+    levels0 = levels0.at[frontier0_id].set(0)
+    ids0, push_ok0, nonempty0 = status(levels0, 0)
+    state = (levels0, ids0, push_ok0, jnp.bool_(False), nonempty0, jnp.int32(0))
 
     def outer_cond(s):
-        _, _, _, nonempty, level = s
+        _, _, _, _, nonempty, level = s
         return nonempty & (level < n)
 
     def outer_body(s):
-        return full_phase(active_phase(s))
+        return dense_phase(bu_phase(push_phase(s)))
 
-    levels, _, _, _, level = jax.lax.while_loop(outer_cond, outer_body, state)
+    levels, _, _, _, _, level = jax.lax.while_loop(outer_cond, outer_body, state)
     return levels, level
+
+
+BFS_TRUNC = 8  # in-neighbors probed per row by the truncated bottom-up
 
 
 def bfs_adaptive_prep(graph: Graph):
@@ -184,6 +272,17 @@ def bfs_adaptive_prep(graph: Graph):
     prep = getattr(graph, "_bfs_adaptive_prep", None)
     if prep is None:
         coo = graph.device_pull()
+        n = graph.n
+        pull_deg = np.diff(graph.pull_indptr).astype(np.int64)
+        # truncated bottom-up probe table, flattened [T, n] -> [T*n]:
+        # trunc[t*n + v] = v's t-th smallest-id in-neighbor, sentinel n
+        # past the row's degree (the frontier mask is padded with 0 at n)
+        psrc = graph.pull_arrays()[0]
+        offs = np.arange(BFS_TRUNC, dtype=np.int64)
+        pos = graph.pull_indptr[:-1, None] + offs[None, :]
+        valid = offs[None, :] < pull_deg[:, None]
+        trunc = np.full((n, BFS_TRUNC), n, dtype=np.int32)
+        trunc[valid] = psrc[np.minimum(pos, max(len(psrc) - 1, 0))[valid]]
         prep = (
             coo,
             jnp.asarray(graph.pull_indptr.astype(np.int32)),
@@ -192,6 +291,10 @@ def bfs_adaptive_prep(graph: Graph):
             ),
             jnp.asarray(graph.indptr.astype(np.int32)),
             jnp.asarray(graph.dst.astype(np.int32)),
+            jnp.asarray(
+                np.concatenate([pull_deg, [0]]).astype(np.int32)
+            ),
+            jnp.asarray(np.ascontiguousarray(trunc.T).reshape(-1)),
         )
         graph._bfs_adaptive_prep = prep
     return prep
@@ -202,10 +305,15 @@ def bfs_adaptive_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig]
     (levels int32 DEVICE array with INT32_INF unreachable, iterations) —
     levels stay on device so callers control when to pay the D2H copy."""
     n = graph.n
-    coo, pull_indptr, deg_pad, push_indptr, push_dst = bfs_adaptive_prep(graph)
-    k_cap = int(getattr(cfg, "bfs_frontier_rows", 0) or 1 << 16)
+    (
+        coo, pull_indptr, deg_pad, push_indptr, push_dst,
+        pull_deg_pad, trunc_tbl,
+    ) = bfs_adaptive_prep(graph)
+    k_cap = int(getattr(cfg, "bfs_frontier_rows", 0) or 1 << 17)
     e_cap = int(getattr(cfg, "bfs_frontier_edges", 0) or 1 << 18)
-    levels0 = jnp.full((n,), INT32_INF, dtype=jnp.int32).at[src_dense].set(0)
+    k_bu = int(getattr(cfg, "bfs_bu_rows", 0) or 1 << 15)
+    e_bu = int(getattr(cfg, "bfs_bu_edges", 0) or 1 << 20)
+    levels0 = jnp.full((n,), INT32_INF, dtype=jnp.int32)
     levels, niter = _bfs_adaptive_kernel(
         levels0,
         jnp.int32(src_dense),
@@ -215,9 +323,14 @@ def bfs_adaptive_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig]
         deg_pad,
         push_indptr,
         push_dst,
+        pull_deg_pad,
+        trunc_tbl,
         n,
+        BFS_TRUNC,
         k_cap,
         e_cap,
+        k_bu,
+        e_bu,
         getattr(cfg, "spmv_impl", "scan") or "scan",
     )
     return levels, int(niter)

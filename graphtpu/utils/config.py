@@ -159,6 +159,11 @@ class PlatformConfig:
     # slab (padded-ELL) degree bucket boundaries for CDLP/LCC kernels;
     # None/empty = library default (graphtpu/ops/slab.py DEFAULT_BUCKETS)
     slab_buckets: Optional[tuple] = None
+    # truncated bottom-up residual capacities (0 = kernel defaults):
+    # rows/edges the full in-edge recheck may touch before the dense
+    # fallback takes the level
+    bfs_bu_rows: int = 0
+    bfs_bu_edges: int = 0
     # device mesh axis size for row-partitioned multi-chip execution (0 = all)
     num_devices: int = 0
     # persist/restore the sharded pull partition under
@@ -215,6 +220,8 @@ _PLATFORM_PROPS = {
     "platform.graphtpu.bfs-active-threshold": ("bfs_active_threshold", float),
     "platform.graphtpu.bfs-frontier-rows": ("bfs_frontier_rows", int),
     "platform.graphtpu.bfs-frontier-edges": ("bfs_frontier_edges", int),
+    "platform.graphtpu.bfs-bu-rows": ("bfs_bu_rows", int),
+    "platform.graphtpu.bfs-bu-edges": ("bfs_bu_edges", int),
     "platform.graphtpu.lcc-impl": ("lcc_impl", str),
     "platform.graphtpu.sssp-impl": ("sssp_impl", str),
     "platform.graphtpu.sssp-active-threshold": ("sssp_active_threshold", float),
