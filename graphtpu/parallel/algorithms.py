@@ -269,7 +269,21 @@ def cdlp_dist_kernel(inc: ShardedIncidence, deg, mesh, rows_per_dev, n, itermax)
     return labels, it
 
 
-def cdlp_dist(sg: ShardedGraph, itermax: int):
+def cdlp_dist(sg: ShardedGraph, itermax: int, cfg=None):
+    """Distributed CDLP. Default = the production slab min-mode kernel
+    split per degree bucket across the mesh (parallel/slab_cdlp.py);
+    `cdlp_impl = "sort"` keeps the per-shard sort formulation."""
+    impl = getattr(cfg, "cdlp_impl", "") or "slab"
+    if impl != "sort":
+        from graphtpu.ops.slab import DEFAULT_BUCKETS
+        from graphtpu.parallel.slab_cdlp import cdlp_slab_dist
+
+        buckets = (
+            tuple(cfg.slab_buckets)
+            if cfg is not None and getattr(cfg, "slab_buckets", None)
+            else DEFAULT_BUCKETS
+        )
+        return cdlp_slab_dist(sg, itermax, buckets)
     inc = sg.incidence()
     deg = sg.incidence_degree_padded()
     labels, it = cdlp_dist_kernel(inc, deg, sg.mesh, sg.rows_per_dev, sg.n, int(itermax))

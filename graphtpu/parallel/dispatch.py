@@ -74,7 +74,7 @@ def try_run_distributed(
         return AlgorithmResult("wcc", graph.mapping[labels], iterations=it)
     if name == "cdlp":
         sg = _sharded(graph, cfg, wdtype)
-        labels, it = dist.cdlp_dist(sg, params.max_iterations)
+        labels, it = dist.cdlp_dist(sg, params.max_iterations, cfg)
         return AlgorithmResult("cdlp", graph.mapping[labels], iterations=it)
     if name == "lcc":
         sg = _sharded(graph, cfg, wdtype)

@@ -1,0 +1,256 @@
+"""Distributed slab min-mode CDLP — the production multi-chip path.
+
+The single-chip production CDLP (graphtpu/ops/minmode.py) buckets rows by
+degree into padded-ELL slabs and computes the smallest-most-frequent
+neighbor label with vectorized row sorts. This module distributes THAT
+kernel instead of the naive sort formulation the first multi-chip loop
+used (the distributed analogue of the reference fork running its tuned
+CUDA kernels rather than LAGraph's sort, cdlp_kernel.cu:1219-1312):
+
+* one GLOBAL slab plan is built on the host, then every bucket's rows are
+  split EVENLY across the mesh — each device gets 1/D of every degree
+  bucket, so power-law skew balances by construction (no device inherits
+  all the hubs the way a contiguous row partition would);
+* under `shard_map` each device runs the same per-bucket minmode and
+  heavy-tail stream kernels as the single-chip path on its slice and
+  emits one locally-concatenated result block of static length L;
+* a single tiled `all_gather` re-replicates the [D*L] concat over ICI,
+  and a host-built static inverse permutation assembles it back to vertex
+  order — one gather, no scatters, exactly like slab.assemble;
+* zero-incidence rows keep their labels via the replicated
+  `has_neighbors` mask; fixed-point early exit matches
+  LAGraph_cdlp.c:328-332.
+
+Communication per iteration is one all_gather of ~n labels — the same
+volume as the sort-based loop, but the compute between collectives is
+the measured-fast slab kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from graphtpu.core.types import INT32_INF
+from graphtpu.ops.gather import table_gather
+from graphtpu.ops.minmode import _slab_minmode, stream_minmode
+from graphtpu.ops.scan_reduce import seg_min_scan
+from graphtpu.ops.slab import DEFAULT_BUCKETS
+from graphtpu.parallel.mesh import ROWS_AXIS
+
+_EDGE_ALIGN = 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _col_align(r_dev: int) -> int:
+    """Pad each device's bucket column count: lane-tile multiples for big
+    buckets, minimal padding for micro-fixture-sized ones."""
+    return _round_up(r_dev, 128 if r_dev > 64 else 8)
+
+
+class DistSlabPlan(NamedTuple):
+    """Host-built static plan. Device arrays are sharded on axis 0."""
+
+    bucket_slabs: Tuple[jax.Array, ...]  # each [D, W, R_dev] int32, -1 pad
+    heavy: Optional[tuple]               # (centers [D,M], neigh [D,M], indptr [D,H_dev+2])
+    inv_perm: jax.Array                  # [n] int32 into the gathered [D*L] concat
+    has_neighbors: jax.Array             # [n] bool — rows with incidence entries
+
+
+def build_dist_slab_plan(graph, mesh, buckets=DEFAULT_BUCKETS) -> DistSlabPlan:
+    """Global slab plan split per bucket across the mesh devices."""
+    from graphtpu.algorithms.cdlp import build_incidence
+
+    n = graph.n
+    num_devices = int(mesh.devices.size)
+    centers, neigh = build_incidence(graph)
+    deg = np.bincount(centers, minlength=n).astype(np.int64)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=indptr[1:])
+
+    edge_sharding3 = NamedSharding(mesh, P(ROWS_AXIS, None, None))
+    edge_sharding2 = NamedSharding(mesh, P(ROWS_AXIS, None))
+    replicated = NamedSharding(mesh, P())
+
+    slabs = []
+    # (sel, r_dev) per bucket for the assembly permutation
+    layout = []
+    prev = 0
+    for w in buckets:
+        sel = np.nonzero((deg > prev) & (deg <= w))[0]
+        prev = w
+        if sel.size == 0:
+            continue
+        r = sel.shape[0]
+        r_dev = _col_align(-(-r // num_devices))
+        r_tot = r_dev * num_devices
+        starts = indptr[sel]
+        degs = deg[sel]
+        offs = np.arange(w)
+        pos = starts[:, None] + offs[None, :]
+        mask = offs[None, :] < degs[:, None]
+        slab = np.full((r_tot, w), -1, dtype=np.int32)
+        slab[:r][mask] = neigh[pos[mask]]
+        # [r_tot, W] -> [W, r_tot] -> [W, D, r_dev] -> [D, W, r_dev]
+        dev_slab = np.ascontiguousarray(
+            slab.T.reshape(w, num_devices, r_dev).transpose(1, 0, 2)
+        )
+        slabs.append(jax.device_put(jnp.asarray(dev_slab), edge_sharding3))
+        layout.append((sel, r_dev))
+
+    heavy = None
+    heavy_layout = None
+    heavy_sel = np.nonzero(deg > buckets[-1])[0]
+    h_dev = 0
+    if heavy_sel.size:
+        h = heavy_sel.shape[0]
+        h_dev = -(-h // num_devices)
+        # per-device edge stream sizes (padded heavy rows contribute 0)
+        dev_edges = [
+            int(deg[heavy_sel[d * h_dev : (d + 1) * h_dev]].sum())
+            for d in range(num_devices)
+        ]
+        m_dev = max(_round_up(max(dev_edges), _EDGE_ALIGN), _EDGE_ALIGN)
+        c_loc = np.full((num_devices, m_dev), h_dev, dtype=np.int32)
+        nb = np.zeros((num_devices, m_dev), dtype=np.int32)
+        ip = np.zeros((num_devices, h_dev + 2), dtype=np.int32)
+        for d in range(num_devices):
+            rows = heavy_sel[d * h_dev : (d + 1) * h_dev]
+            local_deg = np.zeros(h_dev, dtype=np.int64)
+            local_deg[: rows.shape[0]] = deg[rows]
+            ip[d, 1 : h_dev + 1] = np.cumsum(local_deg)
+            ip[d, h_dev + 1] = m_dev  # trailing junk segment holds the padding
+            cursor = 0
+            for k, row in enumerate(rows):
+                s, c = int(indptr[row]), int(deg[row])
+                c_loc[d, cursor : cursor + c] = k
+                nb[d, cursor : cursor + c] = neigh[s : s + c]
+                cursor += c
+        heavy = (
+            jax.device_put(jnp.asarray(c_loc), edge_sharding2),
+            jax.device_put(jnp.asarray(nb), edge_sharding2),
+            jax.device_put(jnp.asarray(ip), edge_sharding2),
+        )
+        heavy_layout = (heavy_sel, h_dev)
+
+    # per-device concat length and assembly permutation
+    l_local = sum(r_dev for _, r_dev in layout) + h_dev
+    inv_perm = np.zeros(n, dtype=np.int32)
+    off = 0
+    for sel, r_dev in layout:
+        j = np.arange(sel.shape[0], dtype=np.int64)
+        d = j // r_dev
+        inv_perm[sel] = (d * l_local + off + (j % r_dev)).astype(np.int32)
+        off += r_dev
+    if heavy_layout is not None:
+        sel, hd = heavy_layout
+        k = np.arange(sel.shape[0], dtype=np.int64)
+        d = k // hd
+        inv_perm[sel] = (d * l_local + off + (k % hd)).astype(np.int32)
+
+    return DistSlabPlan(
+        tuple(slabs),
+        heavy,
+        jax.device_put(jnp.asarray(inv_perm), replicated),
+        jax.device_put(jnp.asarray(deg > 0), replicated),
+    )
+
+
+def _make_step(mesh, num_buckets: int, with_heavy: bool, first: bool):
+    """shard_map'd per-device step: bucket minmodes + heavy stream, one
+    tiled all_gather of the local concat."""
+
+    def block(slabs, heavy, labels):
+        n = labels.shape[0]
+        parts = []
+        for s in slabs:
+            s0 = s[0]
+            if first:
+                # duplicate-free incidence: mode == min neighbor id, no gather
+                parts.append(jnp.min(jnp.where(s0 >= 0, s0, INT32_INF), axis=0))
+            else:
+                parts.append(_slab_minmode(labels, s0))
+        if heavy:
+            c, nb, ip = heavy[0][0], heavy[1][0], heavy[2][0]
+            h_dev = ip.shape[0] - 2
+            if first:
+                hout = seg_min_scan(nb, c, ip, jnp.int32(INT32_INF))[:h_dev]
+            else:
+                hout = stream_minmode(labels, c, nb, ip, n)[:h_dev]
+            parts.append(hout)
+        local = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        return jax.lax.all_gather(local, ROWS_AXIS, tiled=True)
+
+    slab_specs = tuple(P(ROWS_AXIS, None, None) for _ in range(num_buckets))
+    heavy_specs = tuple(P(ROWS_AXIS, None) for _ in range(3)) if with_heavy else ()
+    return jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(slab_specs, heavy_specs, P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+
+@partial(jax.jit, static_argnames=("mesh", "itermax", "first_iter_min"))
+def cdlp_slab_dist_kernel(plan: DistSlabPlan, labels0, mesh, itermax, first_iter_min):
+    heavy = plan.heavy if plan.heavy is not None else ()
+
+    def assemble(gathered, labels):
+        new = table_gather(gathered, plan.inv_perm)
+        return jnp.where(plan.has_neighbors, new, labels)
+
+    start = jnp.int32(0)
+    labels_init = labels0
+    if first_iter_min and itermax >= 1:
+        step0 = _make_step(mesh, len(plan.bucket_slabs), bool(heavy), first=True)
+        labels_init = assemble(step0(plan.bucket_slabs, heavy, labels0), labels0)
+        start = jnp.int32(1)
+
+    step = _make_step(mesh, len(plan.bucket_slabs), bool(heavy), first=False)
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < itermax)
+
+    def body(state):
+        labels, _, it = state
+        new = assemble(step(plan.bucket_slabs, heavy, labels), labels)
+        return new, jnp.any(new != labels), it + 1
+
+    labels, _, it = jax.lax.while_loop(
+        cond, body, (labels_init, jnp.bool_(True), start)
+    )
+    return labels, it
+
+
+jax.tree_util.register_pytree_node(
+    DistSlabPlan,
+    lambda p: (tuple(p), None),
+    lambda _, c: DistSlabPlan(*c),
+)
+
+
+def cdlp_slab_dist(sg, itermax: int, buckets=DEFAULT_BUCKETS):
+    """Entry point: distributed slab CDLP on a ShardedGraph. Returns
+    (labels [n] np.int32, iterations)."""
+    plan = getattr(sg, "_dist_slab_plan", None)
+    if plan is None or getattr(sg, "_dist_slab_buckets", None) != tuple(buckets):
+        plan = build_dist_slab_plan(sg.graph, sg.mesh, buckets)
+        sg._dist_slab_plan = plan
+        sg._dist_slab_buckets = tuple(buckets)
+    labels0 = jnp.arange(sg.n, dtype=jnp.int32)
+    if not plan.bucket_slabs and plan.heavy is None:
+        return np.arange(sg.n, dtype=np.int32), 0
+    labels, it = cdlp_slab_dist_kernel(
+        plan, labels0, sg.mesh, int(itermax), not sg.graph.directed
+    )
+    return np.asarray(labels), int(it)

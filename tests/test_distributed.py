@@ -100,6 +100,35 @@ def test_dispatch_all_six(sharded):
         assert ok, f"{spec.name}/{algo} dispatch: {msg}"
 
 
+@pytest.mark.parametrize("directed", [False, True])
+def test_cdlp_slab_dist_heavy_tail(directed):
+    """The production distributed CDLP (per-bucket row split + heavy-tail
+    stream) matches the single-chip slab kernel exactly — tiny buckets
+    force rows through the heavy stream_minmode path."""
+    from graphtpu.algorithms.cdlp import build_incidence
+    from graphtpu.ops.minmode import cdlp_slab_run
+    from graphtpu.parallel.slab_cdlp import cdlp_slab_dist
+    from graphtpu.utils.synth import rmat_graph
+
+    g = rmat_graph(10, 8, directed=directed, seed=7)
+    mesh = make_mesh(len(jax.devices()))
+    sg = ShardedGraph(g, mesh)
+    labels, it = cdlp_slab_dist(sg, 10, buckets=(4, 8, 16, 32))
+    centers, neigh = build_incidence(g)
+    deg = np.bincount(centers, minlength=g.n)
+    ref, it_ref = cdlp_slab_run(g, centers, neigh, deg, 10, PlatformConfig())
+    np.testing.assert_array_equal(labels, np.asarray(ref))
+    assert it == int(it_ref)
+
+
+def test_cdlp_dist_sort_impl_selectable(sharded):
+    """cdlp_impl = "sort" keeps the per-shard sort formulation available."""
+    spec, g, sg = sharded
+    cfg = PlatformConfig(cdlp_impl="sort")
+    labels, _ = dist.cdlp_dist(sg, spec.params["cdlp"].max_iterations, cfg)
+    _validate(spec, g, "cdlp", g.mapping[labels])
+
+
 def test_dist_matches_single_chip_on_random_graph():
     """Cross-check distributed vs single-chip kernels on a synthetic graph
     big enough that every device block is non-trivially populated."""
