@@ -293,12 +293,34 @@ def cdlp_dist(sg: ShardedGraph, itermax: int, cfg=None):
 # --------------------------------------------------------------------- LCC
 
 
-def lcc_dist(sg: ShardedGraph):
-    """Distributed LCC: the A-edge sweep list is split evenly across the
-    mesh (the CSR structure S is replicated — it is read-only and the sweep
-    is the dominant cost); per-device partial numerators are combined with
-    one psum. Work partitioning is by edges, not rows, so degree skew
-    balances automatically."""
+def lcc_dist(sg: ShardedGraph, cfg=None):
+    """Distributed LCC. Default = the oriented-wedge plan with bucket
+    columns split across the mesh (parallel/wedge_lcc.py — the scalable
+    path); falls back to the membership sweep below when the wedge plan's
+    bucket capacity is exceeded or `lcc_impl = "sweep"` is set."""
+    impl = getattr(cfg, "lcc_impl", "") or "auto"
+    if impl != "sweep":
+        from graphtpu.parallel.wedge_lcc import lcc_oriented_dist
+
+        try:
+            return lcc_oriented_dist(sg)
+        except ValueError:
+            if impl == "oriented":
+                raise
+            from graphtpu.utils.logging import get_logger
+
+            get_logger("dist").warning(
+                "wedge-plan capacity exceeded; falling back to membership sweep"
+            )
+    return _lcc_dist_sweep(sg)
+
+
+def _lcc_dist_sweep(sg: ShardedGraph):
+    """Membership-sweep distributed LCC: the A-edge sweep list is split
+    evenly across the mesh (the CSR structure S is replicated — it is
+    read-only and the sweep is the dominant cost); per-device partial
+    numerators are combined with one psum. Retained as the oracle
+    (`lcc_impl = "sweep"`); infeasible at graph scale."""
     from graphtpu.algorithms.lcc import _lcc_bucket_sweep, _bucket_bounds, _CHUNK, prepare_lcc
 
     graph = sg.graph

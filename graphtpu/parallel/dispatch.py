@@ -78,7 +78,7 @@ def try_run_distributed(
         return AlgorithmResult("cdlp", graph.mapping[labels], iterations=it)
     if name == "lcc":
         sg = _sharded(graph, cfg, wdtype)
-        coeff = dist.lcc_dist(sg)
+        coeff = dist.lcc_dist(sg, cfg)
         return AlgorithmResult("lcc", coeff)
 
     log.info("no distributed implementation for %s — using single-chip path", name)

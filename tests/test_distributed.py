@@ -121,6 +121,28 @@ def test_cdlp_slab_dist_heavy_tail(directed):
     assert it == int(it_ref)
 
 
+@pytest.mark.parametrize("directed", [False, True])
+def test_lcc_oriented_dist_matches_single_chip(directed):
+    """The production distributed LCC (oriented wedges, bucket columns
+    split across the mesh, replicated edge hash) matches the single-chip
+    oriented kernel bit-for-bit."""
+    from graphtpu.ops.triangles import lcc_oriented
+    from graphtpu.parallel.wedge_lcc import lcc_oriented_dist
+    from graphtpu.utils.synth import rmat_graph
+
+    g = rmat_graph(10, 8, directed=directed, seed=7)
+    mesh = make_mesh(len(jax.devices()))
+    sg = ShardedGraph(g, mesh)
+    np.testing.assert_array_equal(lcc_oriented_dist(sg), lcc_oriented(g))
+
+
+def test_lcc_dist_sweep_impl_selectable(sharded):
+    """lcc_impl = "sweep" keeps the membership-sweep oracle available."""
+    spec, g, sg = sharded
+    coeff = dist.lcc_dist(sg, PlatformConfig(lcc_impl="sweep"))
+    _validate(spec, g, "lcc", coeff)
+
+
 def test_cdlp_dist_sort_impl_selectable(sharded):
     """cdlp_impl = "sort" keeps the per-shard sort formulation available."""
     spec, g, sg = sharded
