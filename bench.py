@@ -9,19 +9,29 @@ BASELINE.md), i.e. 2 × 34,185,747 stored edges / 1.5 s ≈ 45.6M edges/s.
 Secondary metrics (reported in "details"): PageRank SpMV nnz/s per chip
 and BFS GTEPS — the north-star metrics named in BASELINE.json.
 
+Scaling mode (`python bench.py --scaling`): runs the DISTRIBUTED PR and
+CDLP loops at 1/2/4/8 mesh devices and reports nnz/s scaling efficiency
+vs the 1-device rate — the BASELINE.json north-star table ("nnz/s
+scaling efficiency reported at 1 chip, 1 host, N hosts; >=70% on 2
+hosts"). With one real chip the mesh is the 8-virtual-device CPU mesh
+(XLA_FLAGS set automatically): all devices share one physical core, so
+CPU efficiency validates shapes/collectives, not wall-clock speedup —
+the same harness measures real efficiency the moment a multi-chip slice
+exists.
+
 Environment knobs: GRAPHTPU_BENCH_SCALE (default 20),
-GRAPHTPU_BENCH_EDGE_FACTOR (default 32), GRAPHTPU_BENCH_ITERS (default 10).
+GRAPHTPU_BENCH_EDGE_FACTOR (default 32), GRAPHTPU_BENCH_ITERS (default 10),
+GRAPHTPU_SCALING_SCALE / _EDGE_FACTOR (default 16/16, scaling mode).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
-
-import graphtpu  # noqa: F401  (enables x64 config; compute stays f32/int32)
 
 # Reference CPU baseline (BASELINE.md): datagen-7_5-fb, 34,185,747 undirected
 # edges (2x stored, LAGraph holds both directions), ~1.5 s per CDLP iteration.
@@ -42,9 +52,79 @@ def _sync(x):
     return x
 
 
+def main_scaling() -> None:
+    """nnz/s scaling-efficiency table over 1/2/4/8 mesh devices."""
+    import jax
+
+    import graphtpu  # noqa: F401
+
+    from graphtpu.parallel import ShardedGraph, make_mesh
+    from graphtpu.parallel import algorithms as dist
+    from graphtpu.utils.synth import rmat_graph
+
+    scale = int(os.environ.get("GRAPHTPU_SCALING_SCALE", "16"))
+    edge_factor = int(os.environ.get("GRAPHTPU_SCALING_EDGE_FACTOR", "16"))
+    pr_iters = 10
+    itermax = 10
+
+    g = rmat_graph(scale, edge_factor, directed=False, seed=42)
+    avail = len(jax.devices())
+    counts = [d for d in (1, 2, 4, 8) if d <= avail]
+
+    table = []
+    for d in counts:
+        sg = ShardedGraph(g, make_mesh(d))
+        dist.pr_dist(sg, 0.85, pr_iters)  # compile + partition warmup
+        t0 = time.perf_counter()
+        dist.pr_dist(sg, 0.85, pr_iters)
+        pr_rate = g.nnz * pr_iters / (time.perf_counter() - t0)
+
+        _, it = dist.cdlp_dist(sg, itermax)
+        t0 = time.perf_counter()
+        _, it = dist.cdlp_dist(sg, itermax)
+        cdlp_rate = 2 * g.nnz * max(it, 1) / (time.perf_counter() - t0)
+        table.append({"devices": d, "pr_nnz_per_s": round(pr_rate, 1),
+                      "cdlp_edges_per_s": round(cdlp_rate, 1)})
+
+    base_pr = table[0]["pr_nnz_per_s"]
+    base_cdlp = table[0]["cdlp_edges_per_s"]
+    for row in table:
+        d = row["devices"]
+        row["pr_efficiency"] = round(row["pr_nnz_per_s"] / (d * base_pr), 3)
+        row["cdlp_efficiency"] = round(row["cdlp_edges_per_s"] / (d * base_cdlp), 3)
+
+    top = table[-1]
+    backend = jax.devices()[0].platform
+    print(
+        json.dumps(
+            {
+                "metric": "pr_scaling_efficiency",
+                "value": top["pr_efficiency"],
+                "unit": f"ratio@{top['devices']}dev",
+                "vs_baseline": round(top["pr_efficiency"] / 0.70, 3),
+                "details": {
+                    "backend": backend,
+                    "graph": f"rmat scale={scale} ef={edge_factor} undirected",
+                    "n": g.n,
+                    "nnz_stored": g.nnz,
+                    "note": (
+                        "virtual single-core CPU mesh — validates shapes/"
+                        "collectives, not wall-clock speedup"
+                    )
+                    if backend == "cpu"
+                    else "real device mesh",
+                    "table": table,
+                },
+            }
+        )
+    )
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
+    import graphtpu  # noqa: F401  (enables x64 config; compute stays f32/int32)
 
     from graphtpu.algorithms.cdlp import build_incidence
     from graphtpu.utils.synth import rmat_graph
@@ -146,4 +226,20 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--scaling" in sys.argv:
+        # a single real chip can't host a mesh — fall back to the
+        # 8-virtual-device CPU mesh unless one was already forced
+        if "xla_force_host_platform_device_count" not in os.environ.get(
+            "XLA_FLAGS", ""
+        ):
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + " --xla_force_host_platform_device_count=8"
+            ).strip()
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        main_scaling()
+    else:
+        main()
