@@ -354,8 +354,10 @@ def _lcc_dist_sweep(sg: ShardedGraph):
             part = flat_c[d * per_dev : (d + 1) * per_dev]
             cb[d, : part.shape[0]] = part
             ob[d, : part.shape[0]] = flat_o[d * per_dev : (d + 1) * per_dev]
-        cb_d = _jax.device_put(jnp.asarray(cb), edge_sharding)
-        ob_d = _jax.device_put(jnp.asarray(ob), edge_sharding)
+        from graphtpu.parallel.partition import put_sharded
+
+        cb_d = put_sharded(cb, edge_sharding)
+        ob_d = put_sharded(ob, edge_sharding)
 
         def bucket_block(num, indptr, col, cdev, odev, pad=pad):
             local = _lcc_bucket_sweep(

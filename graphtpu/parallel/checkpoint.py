@@ -118,9 +118,9 @@ def load_pull(
         valid = np.zeros(m_pad, dtype=bool)
         valid[: counts[dev]] = True
         cols["valid"].append(valid)
-    put = lambda parts: jax.device_put(
-        jnp.asarray(np.stack(parts)), sg.edge_sharding
-    )
+    from graphtpu.parallel.partition import put_sharded
+
+    put = lambda parts: put_sharded(np.stack(parts), sg.edge_sharding)
     coo = ShardedCOO(put(cols["src"]), put(cols["dst_local"]), put(cols["w"]), put(cols["valid"]))
     sg._pull = coo
     log.info("sharded checkpoint loaded: %s", d)

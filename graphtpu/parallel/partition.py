@@ -36,6 +36,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def put_sharded(arr, sharding: NamedSharding) -> jax.Array:
+    """Place a host-global array under `sharding`, valid when the mesh
+    spans processes: every process holds the same host array (graph
+    builds are deterministic and replicated), and each contributes only
+    the shards its local devices own via make_array_from_callback.
+    Single-process meshes keep the cheaper direct device_put."""
+    if jax.process_count() > 1:
+        arr = np.asarray(arr)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+    return jax.device_put(jnp.asarray(arr), sharding)
+
+
 class ShardedCOO(NamedTuple):
     """Pull-ordered edges partitioned by destination row block.
 
@@ -126,7 +140,7 @@ class ShardedGraph:
         return NamedSharding(self.mesh, P())
 
     def put_replicated(self, arr) -> jax.Array:
-        return jax.device_put(jnp.asarray(arr), self.replicated)
+        return put_sharded(arr, self.replicated)
 
     def pad_vector(self, vec: np.ndarray, pad_value) -> np.ndarray:
         out = np.full(self.n_pad, pad_value, dtype=vec.dtype)
@@ -145,7 +159,7 @@ class ShardedGraph:
             {"src": (src, 0), "w": (w, 0)},
             pad_key_value=self.rows_per_dev - 1,
         )
-        put = lambda a: jax.device_put(jnp.asarray(a), self.edge_sharding)
+        put = lambda a: put_sharded(a, self.edge_sharding)
         return ShardedCOO(put(cols["src"]), put(dst_local), put(cols["w"]), put(valid))
 
     def pull(self) -> ShardedCOO:
@@ -186,7 +200,7 @@ class ShardedGraph:
                 {"neigh": (neigh, 0)},
                 pad_key_value=self.rows_per_dev,  # extra throwaway segment
             )
-            put = lambda a: jax.device_put(jnp.asarray(a), self.edge_sharding)
+            put = lambda a: put_sharded(a, self.edge_sharding)
             self._incidence = ShardedIncidence(
                 put(center_local), put(cols["neigh"]), put(valid)
             )

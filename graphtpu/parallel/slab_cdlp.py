@@ -42,6 +42,7 @@ from graphtpu.ops.minmode import _slab_minmode, stream_minmode
 from graphtpu.ops.scan_reduce import seg_min_scan
 from graphtpu.ops.slab import DEFAULT_BUCKETS
 from graphtpu.parallel.mesh import ROWS_AXIS
+from graphtpu.parallel.partition import put_sharded
 
 _EDGE_ALIGN = 1024
 
@@ -103,7 +104,7 @@ def build_dist_slab_plan(graph, mesh, buckets=DEFAULT_BUCKETS) -> DistSlabPlan:
         dev_slab = np.ascontiguousarray(
             slab.T.reshape(w, num_devices, r_dev).transpose(1, 0, 2)
         )
-        slabs.append(jax.device_put(jnp.asarray(dev_slab), edge_sharding3))
+        slabs.append(put_sharded(dev_slab, edge_sharding3))
         layout.append((sel, r_dev))
 
     heavy = None
@@ -135,9 +136,9 @@ def build_dist_slab_plan(graph, mesh, buckets=DEFAULT_BUCKETS) -> DistSlabPlan:
                 nb[d, cursor : cursor + c] = neigh[s : s + c]
                 cursor += c
         heavy = (
-            jax.device_put(jnp.asarray(c_loc), edge_sharding2),
-            jax.device_put(jnp.asarray(nb), edge_sharding2),
-            jax.device_put(jnp.asarray(ip), edge_sharding2),
+            put_sharded(c_loc, edge_sharding2),
+            put_sharded(nb, edge_sharding2),
+            put_sharded(ip, edge_sharding2),
         )
         heavy_layout = (heavy_sel, h_dev)
 
@@ -159,8 +160,8 @@ def build_dist_slab_plan(graph, mesh, buckets=DEFAULT_BUCKETS) -> DistSlabPlan:
     return DistSlabPlan(
         tuple(slabs),
         heavy,
-        jax.device_put(jnp.asarray(inv_perm), replicated),
-        jax.device_put(jnp.asarray(deg > 0), replicated),
+        put_sharded(inv_perm, replicated),
+        put_sharded(deg > 0, replicated),
     )
 
 

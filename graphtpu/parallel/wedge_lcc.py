@@ -35,6 +35,7 @@ from graphtpu.ops.gather import table_gather
 from graphtpu.ops.scan_reduce import seg_sum_scan
 from graphtpu.ops.triangles import WedgePlan, _patch_spilled, _wedge_bucket, prepare_wedge_plan
 from graphtpu.parallel.mesh import ROWS_AXIS
+from graphtpu.parallel.partition import put_sharded
 
 # pair-square probes per device per dispatch (watchdog bound)
 _MAX_DISPATCH_PAIRS = 1 << 30
@@ -142,8 +143,8 @@ def lcc_oriented_dist_numerator(plan: WedgePlan, mesh) -> np.ndarray:
         for s0 in range(0, r_dev, rpd):
             s1 = min(s0 + rpd, r_dev)
             u_g, e_g = _dist_wedge_bucket(
-                jax.device_put(jnp.asarray(dev_slab[:, :, s0:s1]), sharding3),
-                jax.device_put(jnp.asarray(dev_mslab[:, :, s0:s1]), sharding3),
+                put_sharded(dev_slab[:, :, s0:s1], sharding3),
+                put_sharded(dev_mslab[:, :, s0:s1], sharding3),
                 plan.ehash,
                 mesh,
                 plan.id_bits,
@@ -177,9 +178,9 @@ def lcc_oriented_dist_numerator(plan: WedgePlan, mesh) -> np.ndarray:
             hip[d, 1:] = np.cumsum(np.bincount(head_pad, minlength=n + 1))
         head_cred = _dist_aggregate_heads(
             tuple(e_creds),
-            jax.device_put(jnp.asarray(pos), sharding2),
-            jax.device_put(jnp.asarray(perm), sharding2),
-            jax.device_put(jnp.asarray(hip), sharding2),
+            put_sharded(pos, sharding2),
+            put_sharded(perm, sharding2),
+            put_sharded(hip, sharding2),
             mesh,
             n,
         )
