@@ -140,7 +140,8 @@ def lcc(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> Algorithm
         from graphtpu.ops.triangles import lcc_oriented
 
         try:
-            return AlgorithmResult("lcc", lcc_oriented(graph))
+            cache_dir = getattr(cfg, "intermediate_dir", None)
+            return AlgorithmResult("lcc", lcc_oriented(graph, cache_dir=cache_dir))
         except ValueError:
             if impl == "oriented":
                 raise

@@ -42,7 +42,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from graphtpu.ops.edgehash import EdgeHash, build_edge_hash, probe_edge_hash_xy
+from graphtpu.core.types import INT32_INF
+from graphtpu.ops import edgehash
+from graphtpu.ops.edgehash import EdgeHash, probe_edge_hash_xy
 
 # pair-square elements per scan step. The probe's fetched tensor carries
 # a 16-slot minor axis that tile-pads to 128 lanes (8x), so the live
@@ -80,55 +82,190 @@ class WedgePlan(NamedTuple):
     spilled: np.ndarray       # bool mask over the oriented edge stream
 
 
-def prepare_wedge_plan(graph) -> WedgePlan:
-    """Host prep: symmetrize + dedupe with stored-direction multiplicity,
-    rank-relabel by (degree, id), orient, bucket by out-degree."""
+@partial(jax.jit, static_argnames=("id_bits",))
+def _orient_sort_kernel(eu, ev, mult, rank, id_bits):
+    """Rank gathers + orientation + one packed pair sort on device (~2
+    ns/el) — replaces the host argsort that cost minutes at graph scale."""
+    from graphtpu.ops.gather import table_gather
+
+    ru = table_gather(rank, eu)
+    rv = table_gather(rank, ev)
+    ex = jnp.minimum(ru, rv).astype(jnp.int64)
+    ey = jnp.maximum(ru, rv).astype(jnp.int64)
+    packed = (ex << id_bits) | ey
+    pk_s, m_s = jax.lax.sort((packed, mult), num_keys=1)
+    lo_mask = (1 << id_bits) - 1
+    return pk_s, m_s, (pk_s >> id_bits).astype(jnp.int32), (
+        pk_s & lo_mask
+    ).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("w", "off"))
+def _fill_slab_kernel(ey_dev, mult_dev, starts, degs, w, off):
+    """Device slab fill for one bucket: two gathers instead of the host
+    fancy-index stores. Also emits every entry's head id and its flat
+    position in the transposed [W, R_pad] layout (offset by `off`) for
+    the edge-credit aggregation; masked entries get INT32_INF heads so a
+    global pair sort pushes them past the real entries."""
+    from graphtpu.ops.gather import table_gather
+
+    r_pad = starts.shape[0]
+    offs = jnp.arange(w, dtype=jnp.int32)
+    pos = starts[:, None] + offs[None, :]
+    mask = offs[None, :] < degs[:, None]
+    safe = jnp.where(mask, pos, 0)
+    slab = jnp.where(mask, table_gather(ey_dev, safe), -1)
+    mslab = jnp.where(mask, table_gather(mult_dev, safe), 0)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (r_pad, w), 0)
+    tpos = offs[None, :] * r_pad + rr + off
+    heads = jnp.where(mask, slab, INT32_INF)
+    tpos = jnp.where(mask, tpos, 0)
+    return slab.T, mslab.T, heads.reshape(-1), tpos.reshape(-1)
+
+
+@jax.jit
+def _head_sort_kernel(heads, tpos):
+    """Global (head, position) pair sort; INT32_INF sentinel heads (slab
+    padding) sort last and are sliced off by the static real count."""
+    return jax.lax.sort((heads, tpos), num_keys=1)
+
+
+_WEDGE_CACHE_VERSION = 2
+
+
+def _wedge_cache_file(cache_dir, graph):
+    from pathlib import Path
+
+    name = getattr(graph, "name", None)
+    if cache_dir is None or not name:
+        return None
+    return Path(cache_dir) / name / "wedge-v2.npz"
+
+
+def _load_oriented_cache(cache_dir, graph):
+    """Oriented edge list + rank from the ingest cache (skip-if-exists
+    contract of load-graph.sh:50-67 applied to LCC prep)."""
+    f = _wedge_cache_file(cache_dir, graph)
+    if f is None or not f.exists():
+        return None
+    from graphtpu.utils.logging import get_logger
+
+    try:
+        with np.load(f) as z:
+            if (
+                int(z["version"]) != _WEDGE_CACHE_VERSION
+                or int(z["n"]) != graph.n
+                or int(z["nnz"]) != graph.nnz
+            ):
+                get_logger("lcc").warning("wedge cache %s incompatible — ignoring", f)
+                return None
+            out = (
+                z["ex"].astype(np.int64),
+                z["ey"].astype(np.int64),
+                z["mult"].astype(np.int64),
+                z["rank"].astype(np.int64),
+                z["deg_s"].astype(np.int64),
+            )
+        get_logger("lcc").info("wedge cache hit: %s", f)
+        return out
+    except Exception as e:  # corrupt/truncated cache — rebuild
+        get_logger("lcc").warning("wedge cache %s unreadable (%s) — rebuilding", f, e)
+        return None
+
+
+def _save_oriented_cache(cache_dir, graph, ex, ey, mult, rank, deg_s):
+    f = _wedge_cache_file(cache_dir, graph)
+    if f is None:
+        return
+    f.parent.mkdir(parents=True, exist_ok=True)
+    tmp = f.with_suffix(".tmp.npz")
+    np.savez_compressed(
+        tmp,
+        version=_WEDGE_CACHE_VERSION,
+        n=graph.n,
+        nnz=graph.nnz,
+        ex=ex.astype(np.int32),
+        ey=ey.astype(np.int32),
+        mult=mult.astype(np.int8),
+        rank=rank.astype(np.int32),
+        deg_s=deg_s.astype(np.int32),
+    )
+    tmp.replace(f)
+    from graphtpu.utils.logging import get_logger
+
+    get_logger("lcc").info("wedge cache written: %s", f)
+
+
+def prepare_wedge_plan(graph, cache_dir=None) -> WedgePlan:
+    """Wedge-plan prep: symmetrize + dedupe with stored-direction
+    multiplicity (host — the input stream is nearly sorted so the linear
+    passes dominate), then rank-relabel, orient, sort, hash-build, slab
+    fill, and head-sort ALL ON DEVICE (sorts ~2 ns/el vs minutes of
+    single-core numpy argsort at graph scale). With `cache_dir`, the
+    oriented edge list is persisted per graph and restored on repeat
+    runs (ingest skip-if-exists contract)."""
     n = graph.n
-    s, d = graph.src, graph.dst
-    keep = s != d
-    s, d = s[keep], d[keep]
     id_bits = max(int(max(n - 1, 1)).bit_length(), 1)
 
-    lo = np.minimum(s, d).astype(np.int64)
-    hi = np.maximum(s, d).astype(np.int64)
-    key = (lo << id_bits) | hi
-    key.sort()
-    is_first = np.ones(key.shape[0], dtype=bool)
-    is_first[1:] = key[1:] != key[:-1]
-    uniq = key[is_first]
-    # Graph dedupes directed pairs, so multiplicity per unordered pair is 1 or 2
-    first_pos = np.nonzero(is_first)[0]
-    mult = np.diff(np.concatenate([first_pos, [key.shape[0]]])).astype(np.int64)
+    cached = _load_oriented_cache(cache_dir, graph)
+    if cached is not None:
+        ex, ey, mult, rank, deg_s = cached
+        packed = (jnp.asarray(ex, jnp.int64) << id_bits) | jnp.asarray(
+            ey, jnp.int64
+        )
+        mult_d = jnp.asarray(mult.astype(np.int32))
+        ex32 = jnp.asarray(ex.astype(np.int32))
+        ey32 = jnp.asarray(ey.astype(np.int32))
+    else:
+        s, d = graph.src, graph.dst
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo = np.minimum(s, d).astype(np.int64)
+        hi = np.maximum(s, d).astype(np.int64)
+        key = (lo << id_bits) | hi
+        key.sort()  # pull-ordered input is nearly sorted — cheap on host
+        is_first = np.ones(key.shape[0], dtype=bool)
+        is_first[1:] = key[1:] != key[:-1]
+        uniq = key[is_first]
+        # Graph dedupes directed pairs, so multiplicity per pair is 1 or 2
+        first_pos = np.nonzero(is_first)[0]
+        mult = np.diff(np.concatenate([first_pos, [key.shape[0]]])).astype(np.int64)
 
-    eu = (uniq >> id_bits).astype(np.int64)
-    ev = (uniq & ((1 << id_bits) - 1)).astype(np.int64)
-    deg_s = (np.bincount(eu, minlength=n) + np.bincount(ev, minlength=n)).astype(
-        np.int64
-    )
+        eu = (uniq >> id_bits).astype(np.int64)
+        ev = (uniq & ((1 << id_bits) - 1)).astype(np.int64)
+        deg_s = (
+            np.bincount(eu, minlength=n) + np.bincount(ev, minlength=n)
+        ).astype(np.int64)
 
-    # rank relabel: id order == (degree, id) order
-    order_v = np.lexsort((np.arange(n), deg_s))
-    rank = np.empty(n, dtype=np.int64)
-    rank[order_v] = np.arange(n, dtype=np.int64)
+        # rank relabel: id order == (degree, id) order
+        order_v = np.lexsort((np.arange(n), deg_s))
+        rank = np.empty(n, dtype=np.int64)
+        rank[order_v] = np.arange(n, dtype=np.int64)
 
-    ru, rv = rank[eu], rank[ev]
-    ex = np.minimum(ru, rv)
-    ey = np.maximum(ru, rv)
+        packed, mult_d, ex32, ey32 = _orient_sort_kernel(
+            jnp.asarray(eu.astype(np.int32)),
+            jnp.asarray(ev.astype(np.int32)),
+            jnp.asarray(mult.astype(np.int32)),
+            jnp.asarray(rank.astype(np.int32)),
+            id_bits,
+        )
+        ex = np.asarray(ex32).astype(np.int64)
+        ey = np.asarray(ey32).astype(np.int64)
+        mult = np.asarray(mult_d).astype(np.int64)
+        _save_oriented_cache(cache_dir, graph, ex, ey, mult, rank, deg_s)
 
-    # single-key argsort of the packed pair == lexsort((ey, ex)), ~2x
-    # cheaper on this box's one core
-    perm = np.argsort((ex << id_bits) | ey, kind="stable")
-    ex, ey, mult = ex[perm], ey[perm], mult[perm]
     d_plus = np.bincount(ex, minlength=n).astype(np.int64)
     indptr_o = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(d_plus, out=indptr_o[1:])
 
-    ehash, spilled = build_edge_hash((ex << id_bits) | ey, mult)
+    ehash, spilled = edgehash.build_edge_hash_device(packed, mult_d)
 
-    # bucket rows (d+ >= 2) into padded slabs; remember each real slab
-    # entry's flat position and head id for the edge-credit aggregation
+    # bucket rows (d+ >= 2) into padded slabs (device gathers); collect
+    # every real entry's (head, transposed flat position) for the
+    # edge-credit aggregation
     buckets = []
-    pos_parts, head_parts = [], []
+    heads_parts, tpos_parts = [], []
+    m_real = 0
     flat_offset = 0
     prev = 1  # rows with d+ < 2 generate no wedges
     max_dp = int(d_plus.max()) if n else 0
@@ -149,39 +286,31 @@ def prepare_wedge_plan(graph) -> WedgePlan:
         # don't let tiny buckets pad rows up to a huge chunk width
         rc = min(rc, 1 << max(0, int(np.ceil(np.log2(max(r, 1))))))
         r_pad = -(-r // rc) * rc
-        degs = d_plus[sel]
-        offs = np.arange(w)
-        pos2 = indptr_o[sel][:, None] + offs[None, :]
-        mask = offs[None, :] < degs[:, None]
-        slab = np.full((r_pad, w), -1, dtype=np.int32)
-        mslab = np.zeros((r_pad, w), dtype=np.int32)
-        slab[:r][mask] = ey[pos2[mask]]
-        mslab[:r][mask] = mult[pos2[mask]]
-        # flat positions of real entries in this bucket's transposed
-        # [W, R_pad] device layout: entry (row rr, slot ww) -> ww * r_pad + rr
-        rr, ww = np.nonzero(mask)
-        pos_parts.append(flat_offset + ww.astype(np.int64) * r_pad + rr)
-        head_parts.append(ey[pos2[mask]])
-        flat_offset += w * r_pad
-        buckets.append(
-            WedgeBucket(
-                sel,
-                jnp.asarray(np.ascontiguousarray(slab.T)),
-                jnp.asarray(np.ascontiguousarray(mslab.T)),
-                r,
-                rc,
-            )
+        starts = np.zeros(r_pad, dtype=np.int32)
+        degs = np.zeros(r_pad, dtype=np.int32)
+        starts[:r] = indptr_o[sel]
+        degs[:r] = d_plus[sel]
+        slab_t, mslab_t, heads, tpos = _fill_slab_kernel(
+            ey32, mult_d, jnp.asarray(starts), jnp.asarray(degs), w, flat_offset
         )
+        heads_parts.append(heads)
+        tpos_parts.append(tpos)
+        m_real += int(d_plus[sel].sum())
+        flat_offset += w * r_pad
+        buckets.append(WedgeBucket(sel, slab_t, mslab_t, r, rc))
 
     edge_pos = head_perm = head_indptr = None
-    if pos_parts:
-        pos_all = np.concatenate(pos_parts)
-        head_all = np.concatenate(head_parts)
-        hperm = np.argsort(head_all, kind="stable")
+    if heads_parts:
+        heads_all = jnp.concatenate(heads_parts)
+        tpos_all = jnp.concatenate(tpos_parts)
+        _, pos_sorted = _head_sort_kernel(heads_all, tpos_all)
+        edge_pos = pos_sorted[:m_real]  # already head-sorted — no perm
+        # per-head entry counts: every oriented edge whose tail has
+        # d+ >= 2 contributes exactly one slab entry to its head
         hip = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(np.bincount(head_all, minlength=n), out=hip[1:])
-        edge_pos = jnp.asarray(pos_all.astype(np.int32))
-        head_perm = jnp.asarray(hperm.astype(np.int32))
+        np.cumsum(
+            np.bincount(ey[d_plus[ex] > 1], minlength=n), out=hip[1:]
+        )
         head_indptr = jnp.asarray(hip.astype(np.int32))
 
     return WedgePlan(
@@ -274,7 +403,9 @@ def _wedge_chunk(sub, msub, ehash, id_bits):
 
 @partial(jax.jit, static_argnames=())
 def _aggregate_heads(edge_cred_flat, edge_pos, head_perm, head_indptr):
-    """Gather real slab-entry credits, reorder head-sorted, segment-sum."""
+    """Gather real slab-entry credits in head order, segment-sum.
+    `edge_pos` is already head-sorted by prepare (head_perm is None);
+    a not-None head_perm applies a second reorder gather (legacy)."""
     from graphtpu.ops.gather import table_gather
     from graphtpu.ops.scan_reduce import seg_sum_scan
 
@@ -289,7 +420,7 @@ def _aggregate_heads(edge_cred_flat, edge_pos, head_perm, head_indptr):
         )
 
     vals = chunked_gather(edge_cred_flat, edge_pos)
-    ordered = chunked_gather(vals, head_perm)
+    ordered = vals if head_perm is None else chunked_gather(vals, head_perm)
     # f32 lane sums stay exact (row partials < 2^24); f64 across rows and
     # out keeps hub numerators (which exceed 2^24) exact
     return seg_sum_scan(
@@ -347,13 +478,13 @@ def lcc_oriented_numerator(plan: WedgePlan, progress: bool = False) -> np.ndarra
     return numerator_ranked[plan.rank]
 
 
-def lcc_oriented(graph) -> np.ndarray:
+def lcc_oriented(graph, cache_dir=None) -> np.ndarray:
     """Local clustering coefficients (float64 per original vertex id).
-    The wedge plan (minutes of single-core host prep at graph scale) is
-    memoized on the Graph so suite repetitions build it once."""
+    The wedge plan is memoized on the Graph so suite repetitions build it
+    once; with `cache_dir` the oriented edge list persists across runs."""
     plan = getattr(graph, "_wedge_plan", None)
     if plan is None:
-        plan = prepare_wedge_plan(graph)
+        plan = prepare_wedge_plan(graph, cache_dir=cache_dir)
         graph._wedge_plan = plan
     num = lcc_oriented_numerator(plan).astype(np.float64)
     d = plan.deg_s.astype(np.float64)

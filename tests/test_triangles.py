@@ -72,6 +72,28 @@ def test_oriented_uniform_and_structured():
     assert got[4] == 0.0
 
 
+def test_wedge_cache_roundtrip(tmp_path):
+    """The oriented edge list persists under the ingest cache and repeat
+    prep restores it (skip-if-exists); incompatible entries rebuild."""
+    g = rmat_graph(10, 8, directed=False, seed=7)
+    ref = lcc_oriented(g)
+
+    g2 = rmat_graph(10, 8, directed=False, seed=7)
+    g2.name = "cachetest"
+    np.testing.assert_array_equal(lcc_oriented(g2, cache_dir=tmp_path), ref)
+    assert (tmp_path / "cachetest" / "wedge-v2.npz").exists()
+
+    g3 = rmat_graph(10, 8, directed=False, seed=7)
+    g3.name = "cachetest"
+    np.testing.assert_array_equal(lcc_oriented(g3, cache_dir=tmp_path), ref)
+
+    # different graph under the same name — detected and rebuilt
+    g4 = rmat_graph(9, 8, directed=False, seed=1)
+    g4.name = "cachetest"
+    ref4 = lcc_oriented(rmat_graph(9, 8, directed=False, seed=1))
+    np.testing.assert_array_equal(lcc_oriented(g4, cache_dir=tmp_path), ref4)
+
+
 def test_oriented_spill_patch_correctness():
     """Run the full oriented pipeline with a hash forced to spill heavily;
     the host patch must recover the exact sweep answer."""
@@ -79,22 +101,17 @@ def test_oriented_spill_patch_correctness():
 
     g = rmat_graph(9, 12, directed=False, seed=2)
     ref = _sweep(g)
-    orig = ehmod.build_edge_hash
+    orig = ehmod.build_edge_hash_device
     try:
         # overload the table hard enough that even 64-slot rows overflow
-        ehmod.__dict__["build_edge_hash"] = lambda k, p, fill=0.25: orig(
+        ehmod.__dict__["build_edge_hash_device"] = lambda k, p, fill=0.25: orig(
             k, p, fill=64.0
         )
-        import graphtpu.ops.triangles as tri
-
-        tri_build = tri.build_edge_hash
-        tri.__dict__["build_edge_hash"] = ehmod.build_edge_hash
         plan = prepare_wedge_plan(g)
         assert plan.spilled.any(), "expected forced spills"
         got = lcc_oriented(g)
     finally:
-        ehmod.__dict__["build_edge_hash"] = orig
-        tri.__dict__["build_edge_hash"] = tri_build
+        ehmod.__dict__["build_edge_hash_device"] = orig
     np.testing.assert_array_equal(got, ref)
 
 
