@@ -352,12 +352,31 @@ def _patch_spilled(plan: WedgePlan, numerator_ranked: np.ndarray) -> None:
         numerator_ranked[y] += int(mult_of(us, np.full(us.shape, x)).sum())
 
 
+def _pair_tables(w: int):
+    """Static upper-triangle pair enumeration for width w: (ii, jj) pair
+    legs [P], and the (i, j) -> pair-index square map [w*w] (entries with
+    i >= j point at P, a zero pad row) for the take-based credit
+    reconstruction."""
+    ii, jj = np.triu_indices(w, k=1)
+    p = ii.shape[0]
+    sq = np.full((w, w), p, dtype=np.int32)
+    sq[ii, jj] = np.arange(p, dtype=np.int32)
+    return (
+        jnp.asarray(ii.astype(np.int32)),
+        jnp.asarray(jj.astype(np.int32)),
+        jnp.asarray(sq.reshape(-1)),
+    )
+
+
 @partial(jax.jit, static_argnames=("id_bits", "chunk_cols"))
-def _wedge_bucket(slab, mslab, ehash, id_bits, chunk_cols):
+def _wedge_bucket(slab, mslab, ehash, id_bits, chunk_cols, pairs=None):
     """Triangle credits for a whole [W, R_pad] bucket: ONE dispatch, a
     lax.scan over [W, Rc] column chunks (R_pad/Rc chunk bodies per call
     would otherwise each pay dispatch overhead — thousands of calls for
-    narrow-Rc buckets). Returns (u_cred [R_pad], edge_cred [W, R_pad])."""
+    narrow-Rc buckets). With `pairs` (from _pair_tables) each chunk
+    probes only the W(W-1)/2 upper-triangle pair list — half the table
+    gathers of the full square. Returns (u_cred [R_pad],
+    edge_cred [W, R_pad])."""
     w, r_pad = slab.shape
     t = r_pad // chunk_cols
     # [W, R_pad] -> [T, W, Rc] chunk-major
@@ -366,12 +385,45 @@ def _wedge_bucket(slab, mslab, ehash, id_bits, chunk_cols):
 
     def step(_, sm):
         sub, msub = sm
-        u_c, e_c = _wedge_chunk(sub, msub, ehash, id_bits)
+        if pairs is None:
+            u_c, e_c = _wedge_chunk(sub, msub, ehash, id_bits)
+        else:
+            u_c, e_c = _wedge_chunk_pairs(sub, msub, ehash, id_bits, pairs)
         return None, (u_c, e_c)
 
     _, (u_all, e_all) = jax.lax.scan(step, None, (slab_t, mslab_t))
     # [T, Rc] -> [R_pad]; [T, W, Rc] -> [W, R_pad]
     return u_all.reshape(r_pad), e_all.transpose(1, 0, 2).reshape(w, r_pad)
+
+
+def _wedge_chunk_pairs(sub, msub, ehash, id_bits, pairs):
+    """Pair-list variant of _wedge_chunk: probes [P, Rc] (upper triangle
+    only — the square probes both (i,j) and (j,i) and masks one). The
+    per-leg credit sums need pair axes grouped by leg; rather than W
+    ragged segment reductions, per-pair contributions are scattered back
+    to the [W, W, Rc] square with ONE static take (a ~2 ns/el memory
+    copy vs ~16 ns/el table probes) and summed along an axis."""
+    ii, jj, sq = pairs
+    w, rc = sub.shape
+    x = jnp.take(sub, ii, axis=0)                        # [P, Rc]
+    y = jnp.take(sub, jj, axis=0)
+    valid = y >= 0                 # slab rows left-packed: y valid => x valid
+    found, m_xy = probe_edge_hash_xy(
+        ehash, jnp.maximum(x, 0), jnp.maximum(y, 0), id_bits
+    )
+    hit = found & valid
+    u_cred = jnp.sum(jnp.where(hit, m_xy, 0), axis=0, dtype=jnp.int32)  # [Rc]
+
+    mi = jnp.take(msub, ii, axis=0)
+    mj = jnp.take(msub, jj, axis=0)
+    zrow = jnp.zeros((1, rc), dtype=jnp.int32)
+    cx = jnp.concatenate([jnp.where(hit, mj, 0), zrow])  # credit to x (i-leg)
+    cy = jnp.concatenate([jnp.where(hit, mi, 0), zrow])  # credit to y (j-leg)
+    sq_x = jnp.take(cx, sq, axis=0).reshape(w, w, rc)
+    sq_y = jnp.take(cy, sq, axis=0).reshape(w, w, rc)
+    x_cred = jnp.sum(sq_x, axis=1, dtype=jnp.int32)      # [W, Rc]
+    y_cred = jnp.sum(sq_y, axis=0, dtype=jnp.int32)
+    return u_cred, x_cred + y_cred
 
 
 def _wedge_chunk(sub, msub, ehash, id_bits):
@@ -433,14 +485,25 @@ def lcc_oriented_numerator(plan: WedgePlan, progress: bool = False) -> np.ndarra
     stored-direction multiplicity of the opposite edge."""
     import time as _time
 
+    import os as _os
+
     n = plan.n
     numerator_ranked = np.zeros(n, dtype=np.int64)
     edge_cred_parts = []
+    # upper-triangle pair-list probing by default (half the table
+    # gathers); GRAPHTPU_LCC_PROBE=square keeps the full-square variant
+    use_pairs = _os.environ.get("GRAPHTPU_LCC_PROBE", "pairs") != "square"
+    pair_cache: dict = {}
     # cap the pair count per dispatch: a single compiled call that runs
     # for minutes trips the TPU worker's watchdog ("worker crashed")
     max_dispatch_pairs = 1 << 30
     for b in plan.buckets:
         w, r_pad = b.slab.shape
+        pairs = None
+        if use_pairs:
+            pairs = pair_cache.get(w)
+            if pairs is None:
+                pairs = pair_cache[w] = _pair_tables(w)
         rpd = max(
             b.chunk_cols,
             (max_dispatch_pairs // (w * w)) // b.chunk_cols * b.chunk_cols,
@@ -454,6 +517,7 @@ def lcc_oriented_numerator(plan: WedgePlan, progress: bool = False) -> np.ndarra
                 plan.ehash,
                 plan.id_bits,
                 b.chunk_cols,
+                pairs,
             )
             u_parts.append(u_c)
             e_parts.append(e_c)

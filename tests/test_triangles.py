@@ -72,6 +72,20 @@ def test_oriented_uniform_and_structured():
     assert got[4] == 0.0
 
 
+def test_pair_list_probe_matches_square(monkeypatch):
+    """The upper-triangle pair-list probe (default) and the full-square
+    probe produce identical numerators."""
+    from graphtpu.ops.triangles import lcc_oriented_numerator
+
+    g = rmat_graph(10, 8, directed=False, seed=7)
+    plan = prepare_wedge_plan(g)
+    monkeypatch.setenv("GRAPHTPU_LCC_PROBE", "square")
+    a = lcc_oriented_numerator(plan)
+    monkeypatch.setenv("GRAPHTPU_LCC_PROBE", "pairs")
+    b = lcc_oriented_numerator(plan)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_wedge_cache_roundtrip(tmp_path):
     """The oriented edge list persists under the ingest cache and repeat
     prep restores it (skip-if-exists); incompatible entries rebuild."""
