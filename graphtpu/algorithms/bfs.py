@@ -178,7 +178,10 @@ def _bfs_adaptive_kernel(
         levels = jnp.where(ok, updated, levels)
         ids, push_ok, nonempty = status(levels, level + 1)
         # on abort the frontier at `level` is untouched and definitely
-        # nonempty — don't let the empty level+1 status end the traversal
+        # nonempty — don't let the empty level+1 status end the traversal,
+        # and force push_ok False so the DENSE phase (not a push step that
+        # would truncate the too-big frontier) redoes the level
+        push_ok = jnp.where(ok, push_ok, False)
         nonempty = jnp.where(ok, nonempty, True)
         return levels, ids, push_ok, nonempty, ok
 

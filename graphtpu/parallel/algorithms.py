@@ -136,7 +136,14 @@ def bfs_dist_kernel(coo: ShardedCOO, source, mesh, rows_per_dev, n):
     return levels, level
 
 
-def bfs_dist(sg: ShardedGraph, source_dense: int):
+def bfs_dist(sg: ShardedGraph, source_dense: int, cfg=None):
+    """Distributed BFS. Default = the three-phase adaptive kernel
+    (parallel/adaptive_bfs.py); `bfs_impl = "dense"` keeps the per-level
+    full-edge pull loop."""
+    if (getattr(cfg, "bfs_impl", "") or "adaptive") != "dense":
+        from graphtpu.parallel.adaptive_bfs import bfs_adaptive_dist
+
+        return bfs_adaptive_dist(sg, source_dense, cfg)
     coo = sg.pull()
     levels, it = bfs_dist_kernel(coo, jnp.int32(source_dense), sg.mesh, sg.rows_per_dev, sg.n)
     return np.asarray(levels)[: sg.n], int(it)

@@ -60,7 +60,7 @@ def try_run_distributed(
         return AlgorithmResult("pr", np.asarray(ranks, dtype=np.float64), iterations=params.num_iterations)
     if name == "bfs":
         sg = _sharded(graph, cfg, wdtype)
-        levels, it = dist.bfs_dist(sg, graph.dense_source(params.source_vertex))
+        levels, it = dist.bfs_dist(sg, graph.dense_source(params.source_vertex), cfg)
         levels = levels.astype(np.int64)
         levels[levels == INT32_INF] = UNREACHABLE
         return AlgorithmResult("bfs", levels, iterations=it)

@@ -141,7 +141,7 @@ class PlatformConfig:
     # expensive (2^23 edges measured 310 ms/iter vs ~20 ms at 2^18).
     cdlp_frontier_rows: int = 1 << 16
     cdlp_frontier_edges: int = 1 << 18
-    bfs_impl: str = "auto"    # auto|adaptive|hybrid|device
+    bfs_impl: str = "auto"    # auto|adaptive|hybrid|device; dense (distributed only)
     # run BFS levels whose frontier touches less than this fraction of the
     # edges as host expansions instead of dense device steps (hybrid impl)
     bfs_active_threshold: float = 0.05

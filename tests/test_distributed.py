@@ -121,6 +121,36 @@ def test_cdlp_slab_dist_heavy_tail(directed):
     assert it == int(it_ref)
 
 
+@pytest.mark.parametrize(
+    "caps",
+    [
+        {},  # defaults: push handles everything at this scale
+        # tiny push caps: every level runs the truncated bottom-up
+        dict(bfs_frontier_rows=2, bfs_frontier_edges=4, bfs_bu_rows=512, bfs_bu_edges=4096),
+        # bottom-up aborts too: dense fallback takes every heavy level
+        dict(bfs_frontier_rows=2, bfs_frontier_edges=4, bfs_bu_rows=1, bfs_bu_edges=1),
+        # mixed: phases hand over mid-traversal
+        dict(bfs_frontier_rows=64, bfs_frontier_edges=256, bfs_bu_rows=32, bfs_bu_edges=512),
+    ],
+)
+def test_bfs_adaptive_dist_phase_matrix(caps):
+    """The distributed three-phase BFS matches the single-chip adaptive
+    kernel under every phase regime (capacities force push-only,
+    bottom-up, dense-fallback, and mixed traversals)."""
+    from graphtpu.algorithms.bfs import bfs_adaptive_run
+    from graphtpu.parallel.adaptive_bfs import bfs_adaptive_dist
+    from graphtpu.utils.synth import rmat_graph
+
+    mesh = make_mesh(len(jax.devices()))
+    cfg = PlatformConfig(**caps)
+    for directed in (False, True):
+        g = rmat_graph(9, 8, directed=directed, seed=7)
+        sg = ShardedGraph(g, mesh)
+        ref = np.asarray(bfs_adaptive_run(g, 0, PlatformConfig())[0])
+        levels, _ = bfs_adaptive_dist(sg, 0, cfg)
+        np.testing.assert_array_equal(levels, ref)
+
+
 @pytest.mark.parametrize("directed", [False, True])
 def test_lcc_oriented_dist_matches_single_chip(directed):
     """The production distributed LCC (oriented wedges, bucket columns
