@@ -48,9 +48,10 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _local_csr(indptr: np.ndarray, stream: np.ndarray, n_pad: int, r: int, d: int):
-    """Per-device local CSR slices [(R+1) indptr, padded stream, (R+1)
-    deg] for rows [k*r, (k+1)*r) of a global CSR padded to n_pad rows."""
+def _local_csr(indptr: np.ndarray, streams, n_pad: int, r: int, d: int):
+    """Per-device local CSR slices for rows [k*r, (k+1)*r) of a global
+    CSR padded to n_pad rows: ((R+1) indptr, (R+1) deg, one padded
+    [D, M] block per edge stream in `streams`)."""
     ip = np.zeros(n_pad + 1, dtype=np.int64)
     ip[: indptr.shape[0]] = indptr
     ip[indptr.shape[0] :] = indptr[-1]
@@ -61,14 +62,15 @@ def _local_csr(indptr: np.ndarray, stream: np.ndarray, n_pad: int, r: int, d: in
     )
     l_ip = np.zeros((d, r + 1), dtype=np.int32)
     l_deg = np.zeros((d, r + 1), dtype=np.int32)
-    l_stream = np.zeros((d, m_dev), dtype=np.int32)
+    l_streams = [np.zeros((d, m_dev), dtype=s.dtype) for s in streams]
     for k in range(d):
         lo, hi = k * r, (k + 1) * r
         l_ip[k] = (ip[lo : hi + 1] - ip[lo]).astype(np.int32)
         l_deg[k, :r] = deg[lo:hi].astype(np.int32)
-        seg = stream[ip[lo] : ip[hi]]
-        l_stream[k, : seg.shape[0]] = seg
-    return l_ip, l_deg, l_stream
+        for s, out in zip(streams, l_streams):
+            seg = s[ip[lo] : ip[hi]]
+            out[k, : seg.shape[0]] = seg
+    return (l_ip, l_deg, *l_streams)
 
 
 def _build_prep(sg):
@@ -84,10 +86,10 @@ def _build_prep(sg):
     rep = NamedSharding(mesh, P())
 
     push_ip, push_deg, push_dst = _local_csr(
-        g.indptr.astype(np.int64), g.dst.astype(np.int32), n_pad, r, d
+        g.indptr.astype(np.int64), [g.dst.astype(np.int32)], n_pad, r, d
     )
     pull_ip, pull_deg, pull_src = _local_csr(
-        g.pull_indptr.astype(np.int64), g.pull_arrays()[0].astype(np.int32), n_pad, r, d
+        g.pull_indptr.astype(np.int64), [g.pull_arrays()[0].astype(np.int32)], n_pad, r, d
     )
 
     # truncated bottom-up probe table per device, [D, T*R]:

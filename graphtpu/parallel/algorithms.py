@@ -176,7 +176,14 @@ def sssp_dist_kernel(coo: ShardedCOO, source, mesh, rows_per_dev, n):
     return dist, it
 
 
-def sssp_dist(sg: ShardedGraph, source_dense: int):
+def sssp_dist(sg: ShardedGraph, source_dense: int, cfg=None):
+    """Distributed SSSP. Default = the changed-set adaptive kernel
+    (parallel/adaptive_sssp.py); `sssp_impl = "dense"` keeps the
+    per-round full-edge min.plus loop."""
+    if (getattr(cfg, "sssp_impl", "") or "adaptive") != "dense":
+        from graphtpu.parallel.adaptive_sssp import sssp_adaptive_dist
+
+        return sssp_adaptive_dist(sg, source_dense, cfg)
     coo = sg.pull()
     dist, it = sssp_dist_kernel(coo, jnp.int32(source_dense), sg.mesh, sg.rows_per_dev, sg.n)
     return np.asarray(dist, dtype=np.float64)[: sg.n], int(it)

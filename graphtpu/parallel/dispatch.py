@@ -66,7 +66,7 @@ def try_run_distributed(
         return AlgorithmResult("bfs", levels, iterations=it)
     if name == "sssp":
         sg = _sharded(graph, cfg, wdtype)
-        d, it = dist.sssp_dist(sg, graph.dense_source(params.source_vertex))
+        d, it = dist.sssp_dist(sg, graph.dense_source(params.source_vertex), cfg)
         return AlgorithmResult("sssp", np.asarray(d, dtype=np.float64), iterations=it)
     if name == "wcc":
         sg = _sharded(graph, cfg, wdtype)

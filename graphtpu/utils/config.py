@@ -149,7 +149,7 @@ class PlatformConfig:
     bfs_frontier_rows: int = 1 << 16
     bfs_frontier_edges: int = 1 << 18
     lcc_impl: str = "auto"    # auto|oriented|sweep
-    sssp_impl: str = "auto"   # auto|adaptive|hybrid|device
+    sssp_impl: str = "auto"   # auto|adaptive|hybrid|device; dense (distributed only)
     sssp_active_threshold: float = 0.05
     sssp_frontier_rows: int = 1 << 16
     sssp_frontier_edges: int = 1 << 18

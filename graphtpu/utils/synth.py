@@ -43,6 +43,26 @@ def rmat_edges(
     return n, src, dst
 
 
+def _pair_weight(src: np.ndarray, dst: np.ndarray, seed: int) -> np.ndarray:
+    """Deterministic per-UNORDERED-pair weight in [0.01, 1.01).
+
+    Undirected Graphalytics graphs carry ONE weight per edge (relabel.py
+    writes the symmetric matrix with a single value); deriving the weight
+    from the canonical (min, max) pair guarantees w(u,v) == w(v,u) even
+    when the sampler emits both orientations independently — Graph's
+    keep-first dedupe would otherwise store asymmetric weights and break
+    the pull == transposed-push invariant pull_arrays relies on."""
+    lo = np.minimum(src, dst).astype(np.uint64)
+    hi = np.maximum(src, dst).astype(np.uint64)
+    h = lo * np.uint64(0x9E3779B97F4A7C15) ^ (hi + np.uint64(seed)) * np.uint64(
+        0xC2B2AE3D27D4EB4F
+    )
+    h ^= h >> np.uint64(31)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(29)
+    return (h >> np.uint64(11)).astype(np.float64) * 2.0**-53 + 0.01
+
+
 def rmat_graph(
     scale: int,
     edge_factor: int = 16,
@@ -58,16 +78,16 @@ def rmat_graph(
         keep = src != dst
         src, dst = src[keep], dst[keep]
     w = None
-    if weighted:
+    if weighted and directed:
         rng = np.random.default_rng(seed + 1)
         w = rng.random(src.shape[0]) + 0.01
     if not directed:
         non_loop = src != dst
         src2 = np.concatenate([src, dst[non_loop]])
         dst2 = np.concatenate([dst, src[non_loop]])
-        if w is not None:
-            w = np.concatenate([w, w[non_loop]])
         src, dst = src2, dst2
+        if weighted:
+            w = _pair_weight(src, dst, seed + 1)
     mapping = np.arange(n, dtype=np.int64)
     return Graph(n, src, dst, w, mapping, directed=directed, weighted=weighted)
 
@@ -86,12 +106,13 @@ def uniform_graph(
     dst = rng.integers(0, n, size=m, dtype=np.int64)
     keep = src != dst
     src, dst = src[keep], dst[keep]
-    w = rng.random(src.shape[0]) + 0.01 if weighted else None
+    w = rng.random(src.shape[0]) + 0.01 if weighted and directed else None
     if not directed:
         src2 = np.concatenate([src, dst])
         dst2 = np.concatenate([dst, src])
-        if w is not None:
-            w = np.concatenate([w, w])
         src, dst = src2, dst2
+        if weighted:
+            # one weight per UNORDERED pair (see _pair_weight)
+            w = _pair_weight(src, dst, seed + 1)
     mapping = np.arange(n, dtype=np.int64)
     return Graph(n, src, dst, w, mapping, directed=directed, weighted=weighted)

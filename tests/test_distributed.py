@@ -151,6 +151,32 @@ def test_bfs_adaptive_dist_phase_matrix(caps):
         np.testing.assert_array_equal(levels, ref)
 
 
+@pytest.mark.parametrize(
+    "caps",
+    [
+        {},
+        # tiny caps: heavy rounds hit the dense min.plus fallback
+        dict(sssp_frontier_rows=8, sssp_frontier_edges=32),
+    ],
+)
+def test_sssp_adaptive_dist_matches_single_chip(caps):
+    """The distributed changed-set Bellman-Ford matches the single-chip
+    adaptive kernel bit-for-bit (unique min.plus fixed point; identical
+    per-path accumulation order)."""
+    from graphtpu.algorithms.sssp import sssp_adaptive_run
+    from graphtpu.parallel.adaptive_sssp import sssp_adaptive_dist
+    from graphtpu.utils.synth import rmat_graph
+
+    mesh = make_mesh(len(jax.devices()))
+    cfg = PlatformConfig(**caps)
+    for directed in (False, True):
+        g = rmat_graph(9, 8, directed=directed, seed=7, weighted=True)
+        sg = ShardedGraph(g, mesh, wdtype=np.float64)
+        ref, _ = sssp_adaptive_run(g, 0, PlatformConfig(), dtype=np.float64)
+        d, _ = sssp_adaptive_dist(sg, 0, cfg)
+        np.testing.assert_array_equal(d, ref)
+
+
 @pytest.mark.parametrize("directed", [False, True])
 def test_lcc_oriented_dist_matches_single_chip(directed):
     """The production distributed LCC (oriented wedges, bucket columns
