@@ -225,6 +225,12 @@ _PLATFORM_PROPS = {
     "platform.graphtpu.lcc-impl": ("lcc_impl", str),
     "platform.graphtpu.sssp-impl": ("sssp_impl", str),
     "platform.graphtpu.sssp-active-threshold": ("sssp_active_threshold", float),
+    "platform.graphtpu.sssp-frontier-rows": ("sssp_frontier_rows", int),
+    "platform.graphtpu.sssp-frontier-edges": ("sssp_frontier_edges", int),
+    "platform.graphtpu.slab-buckets": (
+        "slab_buckets",
+        lambda v: tuple(int(x) for x in str(v).split(",") if x.strip()),
+    ),
     "platform.graphtpu.wcc-impl": ("wcc_impl", str),
     "platform.graphtpu.wcc-frontier-rows": ("wcc_frontier_rows", int),
     "platform.graphtpu.wcc-frontier-edges": ("wcc_frontier_edges", int),
