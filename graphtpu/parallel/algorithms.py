@@ -92,7 +92,14 @@ def pr_dist_kernel(coo: ShardedCOO, out_deg, damping, mesh, rows_per_dev, n, num
     return jax.lax.fori_loop(0, num_iterations, body, r0)
 
 
-def pr_dist(sg: ShardedGraph, damping: float, num_iterations: int, dtype=np.float32):
+def pr_dist(sg: ShardedGraph, damping: float, num_iterations: int, dtype=np.float32, cfg=None):
+    """Distributed PageRank. Default = the slab pull plan split per
+    bucket across the mesh (parallel/slab_pr.py — the production
+    formulation); `pr_impl = "segment"` keeps the segment-sum loop."""
+    if (getattr(cfg, "pr_impl", "") or "slab") != "segment":
+        from graphtpu.parallel.slab_pr import pr_slab_dist
+
+        return pr_slab_dist(sg, damping, num_iterations, dtype=dtype)
     coo = sg.pull()
     out_deg = sg.out_degree_padded()
     r = pr_dist_kernel(

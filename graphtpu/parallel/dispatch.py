@@ -56,7 +56,7 @@ def try_run_distributed(
 
     if name == "pr":
         sg = _sharded(graph, cfg, wdtype)
-        ranks = dist.pr_dist(sg, params.damping_factor, params.num_iterations, dtype=wdtype)
+        ranks = dist.pr_dist(sg, params.damping_factor, params.num_iterations, dtype=wdtype, cfg=cfg)
         return AlgorithmResult("pr", np.asarray(ranks, dtype=np.float64), iterations=params.num_iterations)
     if name == "bfs":
         sg = _sharded(graph, cfg, wdtype)

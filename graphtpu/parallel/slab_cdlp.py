@@ -67,12 +67,20 @@ class DistSlabPlan(NamedTuple):
 
 
 def build_dist_slab_plan(graph, mesh, buckets=DEFAULT_BUCKETS) -> DistSlabPlan:
-    """Global slab plan split per bucket across the mesh devices."""
+    """CDLP incidence slab plan split per bucket across the mesh."""
     from graphtpu.algorithms.cdlp import build_incidence
 
-    n = graph.n
-    num_devices = int(mesh.devices.size)
     centers, neigh = build_incidence(graph)
+    return build_dist_slab_plan_from(centers, neigh, graph.n, mesh, buckets)
+
+
+def build_dist_slab_plan_from(
+    centers, neigh, n, mesh, buckets=DEFAULT_BUCKETS
+) -> DistSlabPlan:
+    """Generic bucket-split slab plan over a center-sorted (centers,
+    neigh) stream — shared by distributed CDLP (incidence) and the slab
+    PR pull plan (in-edges)."""
+    num_devices = int(mesh.devices.size)
     deg = np.bincount(centers, minlength=n).astype(np.int64)
     indptr = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(deg, out=indptr[1:])

@@ -1,0 +1,98 @@
+"""Round-2 TPU measurement sweep: new BFS phases, LCC pair-list probe,
+wedge-prep timing, CDLP regression check.
+
+Run on the real TPU (no env overrides) once per kernel change:
+
+    PYTHONPATH=/root/repo:$PYTHONPATH python scripts/perf/measure_round2.py [scale] [ef]
+
+Prints one line per measurement; every timed region is fenced with a
+D2H reduction (block_until_ready returns early under the axon relay).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+import numpy as np
+
+import graphtpu  # noqa: F401
+
+
+def sync(x):
+    import jax.numpy as jnp
+
+    return float(jnp.max(jnp.asarray(x).astype(jnp.float32)))
+
+
+def main():
+    import jax
+
+    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    ef = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    print(f"backend={jax.devices()[0].platform} scale={scale} ef={ef}", flush=True)
+
+    from graphtpu.ingest import cache as cache_mod
+    from graphtpu.utils.config import PlatformConfig
+    from graphtpu.utils.synth import rmat_graph
+
+    gname = f"bench-rmat-s{scale}-ef{ef}"
+    t0 = time.perf_counter()
+    g = cache_mod.load("./intermediate", gname) if cache_mod.exists("./intermediate", gname) else None
+    if g is None:
+        g = rmat_graph(scale, ef, directed=False, seed=42)
+        cache_mod.save(g, "./intermediate", gname)
+    print(f"graph ready {time.perf_counter()-t0:.1f}s n={g.n} nnz={g.nnz}", flush=True)
+    cfg = PlatformConfig()
+
+    # ---------------- BFS (three-phase) ----------------
+    from graphtpu.algorithms.bfs import bfs_adaptive_run
+
+    for src in (0, 1, 12345):
+        levels, it = bfs_adaptive_run(g, src, cfg)  # warm (compile once)
+        sync(levels)
+        t0 = time.perf_counter()
+        levels, it = bfs_adaptive_run(g, src, cfg)
+        sync(levels)
+        dt = time.perf_counter() - t0
+        print(
+            f"bfs src={src}: {dt:.3f}s = {g.nnz/dt/1e9:.3f} GTEPS ({it} levels)",
+            flush=True,
+        )
+
+    # ---------------- LCC: prep + probe variants ----------------
+    from graphtpu.ops.triangles import lcc_oriented_numerator, prepare_wedge_plan
+
+    t0 = time.perf_counter()
+    plan = prepare_wedge_plan(g, cache_dir="./intermediate")
+    print(f"lcc prep: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    for probe in ("pairs", "square"):
+        os.environ["GRAPHTPU_LCC_PROBE"] = probe
+        t0 = time.perf_counter()
+        num = lcc_oriented_numerator(plan, progress=True)
+        dt = time.perf_counter() - t0
+        print(f"lcc numerator [{probe}]: {dt:.1f}s", flush=True)
+
+    # ---------------- CDLP regression check ----------------
+    from graphtpu.algorithms.cdlp import build_incidence
+    from graphtpu.ops.active import cdlp_adaptive_device_run, prepare_cdlp_adaptive
+
+    centers, neigh = build_incidence(g)
+    deg = np.bincount(centers, minlength=g.n).astype(np.int32)
+    prep = prepare_cdlp_adaptive(g, centers, neigh, deg, cfg)
+    labels, it = cdlp_adaptive_device_run(g, centers, neigh, deg, 10, cfg, prep)
+    sync(labels)
+    t0 = time.perf_counter()
+    labels, it = cdlp_adaptive_device_run(g, centers, neigh, deg, 10, cfg, prep)
+    sync(labels)
+    dt = time.perf_counter() - t0
+    print(
+        f"cdlp 10 iters: {dt:.2f}s = {centers.shape[0]*max(int(it),1)/dt/1e6:.0f}M edges/s",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -151,6 +151,27 @@ def test_bfs_adaptive_dist_phase_matrix(caps):
         np.testing.assert_array_equal(levels, ref)
 
 
+@pytest.mark.parametrize("directed", [False, True])
+def test_pr_slab_dist_matches_single_chip(directed):
+    """The distributed slab PR (bucket-split pull plan) is bit-identical
+    to the single-chip production PR (same per-row summation order)."""
+    from graphtpu.algorithms.common import run_algorithm
+    from graphtpu.parallel.slab_pr import pr_slab_dist
+    from graphtpu.utils.config import AlgorithmParams
+    from graphtpu.utils.synth import rmat_graph
+
+    g = rmat_graph(9, 8, directed=directed, seed=7)
+    sg = ShardedGraph(g, make_mesh(len(jax.devices())), wdtype=np.float64)
+    ranks = pr_slab_dist(sg, 0.85, 10, dtype=np.float64)
+    single = run_algorithm(
+        "pr",
+        g,
+        AlgorithmParams(damping_factor=0.85, num_iterations=10),
+        PlatformConfig(precision="float64"),
+    )
+    np.testing.assert_array_equal(ranks, single.values)
+
+
 @pytest.mark.parametrize(
     "caps",
     [
