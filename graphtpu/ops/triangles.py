@@ -258,7 +258,13 @@ def prepare_wedge_plan(graph, cache_dir=None) -> WedgePlan:
     indptr_o = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(d_plus, out=indptr_o[1:])
 
-    ehash, spilled = edgehash.build_edge_hash_device(packed, mult_d)
+    import os as _os
+
+    # mean slot occupancy of the membership table: 0.25 -> 1.07 GB at
+    # RMAT s20/ef32; 0.5 halves the table (row-overflow P stays ~3e-7
+    # per row) and may lift the issue-rate-bound probe throughput
+    fill = float(_os.environ.get("GRAPHTPU_LCC_HASH_FILL", "0.25"))
+    ehash, spilled = edgehash.build_edge_hash_device(packed, mult_d, fill=fill)
 
     # bucket rows (d+ >= 2) into padded slabs (device gathers); collect
     # every real entry's (head, transposed flat position) for the
