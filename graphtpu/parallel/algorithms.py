@@ -227,7 +227,14 @@ def wcc_dist_kernel(coo: ShardedCOO, mesh, rows_per_dev, n):
     return labels, it
 
 
-def wcc_dist(sg: ShardedGraph):
+def wcc_dist(sg: ShardedGraph, cfg=None):
+    """Distributed WCC. Default = the convergence-adaptive kernel
+    (parallel/adaptive_wcc.py); `wcc_impl = "dense"` keeps the per-round
+    full-edge min-propagation loop."""
+    if (getattr(cfg, "wcc_impl", "") or "adaptive") != "dense":
+        from graphtpu.parallel.adaptive_wcc import wcc_adaptive_dist
+
+        return wcc_adaptive_dist(sg, cfg)
     coo = sg.pull_symmetrized()
     labels, it = wcc_dist_kernel(coo, sg.mesh, sg.rows_per_dev, sg.n)
     return np.asarray(labels)[: sg.n], int(it)

@@ -70,7 +70,7 @@ def try_run_distributed(
         return AlgorithmResult("sssp", np.asarray(d, dtype=np.float64), iterations=it)
     if name == "wcc":
         sg = _sharded(graph, cfg, wdtype)
-        labels, it = dist.wcc_dist(sg)
+        labels, it = dist.wcc_dist(sg, cfg)
         return AlgorithmResult("wcc", graph.mapping[labels], iterations=it)
     if name == "cdlp":
         sg = _sharded(graph, cfg, wdtype)

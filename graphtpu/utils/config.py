@@ -153,7 +153,7 @@ class PlatformConfig:
     sssp_active_threshold: float = 0.05
     sssp_frontier_rows: int = 1 << 16
     sssp_frontier_edges: int = 1 << 18
-    wcc_impl: str = "auto"    # auto|adaptive|device
+    wcc_impl: str = "auto"    # auto|adaptive|device; dense (distributed only)
     wcc_frontier_rows: int = 1 << 16
     wcc_frontier_edges: int = 1 << 18
     # slab (padded-ELL) degree bucket boundaries for CDLP/LCC kernels;

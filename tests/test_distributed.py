@@ -151,6 +151,32 @@ def test_bfs_adaptive_dist_phase_matrix(caps):
         np.testing.assert_array_equal(levels, ref)
 
 
+@pytest.mark.parametrize(
+    "caps",
+    [
+        {},
+        # tiny caps: heavy rounds hit the dense + pointer-jumping fallback
+        dict(wcc_frontier_rows=16, wcc_frontier_edges=64),
+    ],
+)
+def test_wcc_adaptive_dist_matches_single_chip(caps):
+    """The distributed adaptive WCC produces the same min-vertex-id
+    component labels as the single-chip kernel."""
+    from graphtpu.algorithms.common import run_algorithm
+    from graphtpu.parallel.adaptive_wcc import wcc_adaptive_dist
+    from graphtpu.utils.config import AlgorithmParams
+    from graphtpu.utils.synth import rmat_graph
+
+    mesh = make_mesh(len(jax.devices()))
+    cfg = PlatformConfig(**caps)
+    for directed in (False, True):
+        g = rmat_graph(9, 8, directed=directed, seed=7)
+        sg = ShardedGraph(g, mesh)
+        single = run_algorithm("wcc", g, AlgorithmParams(), PlatformConfig())
+        labels, _ = wcc_adaptive_dist(sg, cfg)
+        np.testing.assert_array_equal(g.mapping[labels], single.values)
+
+
 @pytest.mark.parametrize("directed", [False, True])
 def test_pr_slab_dist_matches_single_chip(directed):
     """The distributed slab PR (bucket-split pull plan) is bit-identical
