@@ -120,11 +120,39 @@ def main_scaling() -> None:
     )
 
 
+def _device_ping(timeout_s: float = 600.0) -> None:
+    """Fail fast (clear message, nonzero exit) when the accelerator
+    backend is unreachable — a wedged TPU relay makes even trivial ops
+    hang forever, which would stall the whole benchmark run silently."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax.numpy as jnp
+
+        ok.append(float(jnp.max(jnp.arange(8.0))))
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok:
+        print(
+            f"bench: device backend unreachable (trivial op did not "
+            f"complete within {timeout_s:.0f}s) — aborting",
+            file=sys.stderr,
+            flush=True,
+        )
+        os._exit(1)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     import graphtpu  # noqa: F401  (enables x64 config; compute stays f32/int32)
+
+    _device_ping()
 
     from graphtpu.algorithms.cdlp import build_incidence
     from graphtpu.utils.synth import rmat_graph
