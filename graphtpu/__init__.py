@@ -23,6 +23,15 @@ import jax as _jax
 if _os.environ.get("GRAPHTPU_X64", "1") == "1":
     _jax.config.update("jax_enable_x64", True)
 
+# Explicit backend override. This environment's axon sitecustomize pins
+# jax_platforms programmatically at interpreter start, so the plain
+# JAX_PLATFORMS env var cannot force the CPU backend; GRAPHTPU_PLATFORM
+# goes through jax.config and wins (used by CI to keep the e2e suite off
+# a TPU that may be absent/wedged, and by any headless CPU run).
+_plat = _os.environ.get("GRAPHTPU_PLATFORM")
+if _plat:
+    _jax.config.update("jax_platforms", _plat)
+
 __version__ = "0.1.0"
 
 from graphtpu.core.graph import Graph  # noqa: E402,F401

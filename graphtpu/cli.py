@@ -93,7 +93,9 @@ def cmd_run(args) -> int:
     metrics = platform.finalize()
     print(f"processing time: {metrics.processing_time_seconds}s "
           f"(iterations: {result.iterations})")
-    if args.output_file:
+    from graphtpu.parallel import multihost
+
+    if args.output_file and multihost.is_primary():
         result.write(graph, args.output_file)
         print(f"output written to {args.output_file}")
     if args.validation_file:

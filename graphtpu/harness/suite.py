@@ -34,6 +34,14 @@ log = get_logger("suite")
 ALGO_SUFFIX = {"bfs": "BFS", "pr": "PR", "wcc": "WCC", "cdlp": "CDLP", "lcc": "LCC", "sssp": "SSSP"}
 
 
+def _is_primary() -> bool:
+    """True on the process that writes outputs/reports (rank 0; always
+    True single-host)."""
+    import jax
+
+    return jax.process_index() == 0
+
+
 @dataclasses.dataclass
 class RunRecord:
     graph: str
@@ -139,7 +147,10 @@ class BenchmarkSuite:
             rec.processing_time_seconds = ceil3((end_ms - start_ms) / 1000.0)
             rec.iterations = result.iterations
 
-            if self.cfg.output_required:
+            if self.cfg.output_required and _is_primary():
+                # multi-host: every process runs the (collective) job,
+                # only rank 0 writes outputs — the reference's single
+                # writer contract
                 out_dir = Path(self.cfg.output_dir)
                 out_dir.mkdir(parents=True, exist_ok=True)
                 out_path = out_dir / f"{spec.name}-{ALGO_SUFFIX[algorithm]}"
@@ -241,6 +252,8 @@ class BenchmarkSuite:
 
     def write_report(self) -> Path:
         report_dir = Path(self.cfg.report_dir)
+        if not _is_primary():
+            return report_dir
         report_dir.mkdir(parents=True, exist_ok=True)
         with open(report_dir / "runs.jsonl", "w") as f:
             for rec in self.records:

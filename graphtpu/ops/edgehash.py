@@ -173,6 +173,40 @@ def _probe_lanes(eh: EdgeHash, klo: jax.Array, khi: jax.Array):
     return found, payload
 
 
+def _probe_lanes_sorted(eh: EdgeHash, klo: jax.Array, khi: jax.Array):
+    """_probe_lanes with the row gather issued in SORTED row order: the
+    big-table random row fetch is issue-rate bound (~16 ns/row at 1 GB);
+    consecutive fetches of neighboring rows may stream much closer to the
+    small-table rate (~7 ns). Costs two multi-operand sorts (~2 ns/el
+    each) bracketing the gather — worth it only if locality buys more
+    than ~4 ns/probe; keep it behind the GRAPHTPU_LCC_PROBE A/B knob."""
+    b = int(eh.rows).bit_length() - 1
+    mlo = jnp.int32(_M_LO.astype(np.int32))
+    mhi = jnp.int32(_M_HI.astype(np.int32))
+    h = (klo * mlo) ^ (khi * mhi)
+    h = (h >> (32 - b)) & (eh.rows - 1)
+
+    idx = jnp.arange(h.shape[0], dtype=jnp.int32)
+    h_s, klo_s, khi_s, idx_s = jax.lax.sort((h, klo, khi, idx), num_keys=1)
+    fetched = eh.table[h_s]
+    lo_lanes = fetched[:, 0::2]
+    odd_lanes = fetched[:, 1::2]
+    match = (
+        (odd_lanes >= 0)
+        & (lo_lanes == klo_s[:, None])
+        & ((odd_lanes >> PAYLOAD_BITS) == khi_s[:, None])
+    )
+    found_s = jnp.any(match, axis=-1)
+    payload_s = jnp.sum(
+        jnp.where(match, odd_lanes & _PAYLOAD_MASK, 0), axis=-1, dtype=jnp.int32
+    )
+    # un-permute with a second sort (a scatter would cost ~30 ns/el)
+    _, found, payload = jax.lax.sort(
+        (idx_s, found_s.astype(jnp.int32), payload_s), num_keys=1
+    )
+    return found.astype(bool), payload
+
+
 def probe_edge_hash(eh: EdgeHash, keys: jax.Array):
     """Vectorized membership test: keys int64 (any shape) → (found bool,
     payload int32). Unknown keys return (False, 0)."""
@@ -184,17 +218,22 @@ def probe_edge_hash(eh: EdgeHash, keys: jax.Array):
     return found.reshape(shape), payload.reshape(shape)
 
 
-def probe_edge_hash_xy(eh: EdgeHash, x: jax.Array, y: jax.Array, id_bits: int):
+def probe_edge_hash_xy(
+    eh: EdgeHash, x: jax.Array, y: jax.Array, id_bits: int, sort_probes: bool = False
+):
     """Membership test for packed pair keys `(x << id_bits) | y` built
     entirely in int32 (int64 gathers/multiplies scalarize on TPU): the
     int32 shift's wrap IS the key's low 32 bits, and the high half is
-    `x >> (32 - id_bits)`. Requires 0 < id_bits < 32 and x, y >= 0."""
+    `x >> (32 - id_bits)`. Requires 0 < id_bits < 32 and x, y >= 0.
+    `sort_probes` issues the row gather in sorted row order (see
+    _probe_lanes_sorted)."""
     shape = x.shape
     xf = x.reshape(-1).astype(jnp.int32)
     yf = y.reshape(-1).astype(jnp.int32)
     klo = (xf << id_bits) | yf
     khi = xf >> (32 - id_bits)
-    found, payload = _probe_lanes(eh, klo, khi)
+    lanes = _probe_lanes_sorted if sort_probes else _probe_lanes
+    found, payload = lanes(eh, klo, khi)
     return found.reshape(shape), payload.reshape(shape)
 
 

@@ -374,8 +374,9 @@ def _pair_tables(w: int):
     )
 
 
-@partial(jax.jit, static_argnames=("id_bits", "chunk_cols"))
-def _wedge_bucket(slab, mslab, ehash, id_bits, chunk_cols, pairs=None):
+@partial(jax.jit, static_argnames=("id_bits", "chunk_cols", "sort_probes"))
+def _wedge_bucket(slab, mslab, ehash, id_bits, chunk_cols, pairs=None,
+                  sort_probes=False):
     """Triangle credits for a whole [W, R_pad] bucket: ONE dispatch, a
     lax.scan over [W, Rc] column chunks (R_pad/Rc chunk bodies per call
     would otherwise each pay dispatch overhead — thousands of calls for
@@ -392,9 +393,11 @@ def _wedge_bucket(slab, mslab, ehash, id_bits, chunk_cols, pairs=None):
     def step(_, sm):
         sub, msub = sm
         if pairs is None:
-            u_c, e_c = _wedge_chunk(sub, msub, ehash, id_bits)
+            u_c, e_c = _wedge_chunk(sub, msub, ehash, id_bits, sort_probes)
         else:
-            u_c, e_c = _wedge_chunk_pairs(sub, msub, ehash, id_bits, pairs)
+            u_c, e_c = _wedge_chunk_pairs(
+                sub, msub, ehash, id_bits, pairs, sort_probes
+            )
         return None, (u_c, e_c)
 
     _, (u_all, e_all) = jax.lax.scan(step, None, (slab_t, mslab_t))
@@ -402,7 +405,7 @@ def _wedge_bucket(slab, mslab, ehash, id_bits, chunk_cols, pairs=None):
     return u_all.reshape(r_pad), e_all.transpose(1, 0, 2).reshape(w, r_pad)
 
 
-def _wedge_chunk_pairs(sub, msub, ehash, id_bits, pairs):
+def _wedge_chunk_pairs(sub, msub, ehash, id_bits, pairs, sort_probes=False):
     """Pair-list variant of _wedge_chunk: probes [P, Rc] (upper triangle
     only — the square probes both (i,j) and (j,i) and masks one). The
     per-leg credit sums need pair axes grouped by leg; rather than W
@@ -415,7 +418,7 @@ def _wedge_chunk_pairs(sub, msub, ehash, id_bits, pairs):
     y = jnp.take(sub, jj, axis=0)
     valid = y >= 0                 # slab rows left-packed: y valid => x valid
     found, m_xy = probe_edge_hash_xy(
-        ehash, jnp.maximum(x, 0), jnp.maximum(y, 0), id_bits
+        ehash, jnp.maximum(x, 0), jnp.maximum(y, 0), id_bits, sort_probes
     )
     hit = found & valid
     u_cred = jnp.sum(jnp.where(hit, m_xy, 0), axis=0, dtype=jnp.int32)  # [Rc]
@@ -432,7 +435,7 @@ def _wedge_chunk_pairs(sub, msub, ehash, id_bits, pairs):
     return u_cred, x_cred + y_cred
 
 
-def _wedge_chunk(sub, msub, ehash, id_bits):
+def _wedge_chunk(sub, msub, ehash, id_bits, sort_probes=False):
     """Triangle credits for one [W, Rc] slab chunk over the full pair
     square. Returns (u_cred [Rc], edge_cred [W, Rc]): edge_cred[(slot,
     row)] is the credit owed to the HEAD of that oriented edge."""
@@ -444,7 +447,7 @@ def _wedge_chunk(sub, msub, ehash, id_bits):
     valid = (ii < jj) & (y >= 0)   # slab rows left-packed: y valid => x valid
     xb = jnp.broadcast_to(jnp.maximum(x, 0), (w, w, sub.shape[1]))
     yb = jnp.broadcast_to(jnp.maximum(y, 0), (w, w, sub.shape[1]))
-    found, m_xy = probe_edge_hash_xy(ehash, xb, yb, id_bits)
+    found, m_xy = probe_edge_hash_xy(ehash, xb, yb, id_bits, sort_probes)
     hit = found & valid
 
     u_cred = jnp.sum(
@@ -497,8 +500,12 @@ def lcc_oriented_numerator(plan: WedgePlan, progress: bool = False) -> np.ndarra
     numerator_ranked = np.zeros(n, dtype=np.int64)
     edge_cred_parts = []
     # upper-triangle pair-list probing by default (half the table
-    # gathers); GRAPHTPU_LCC_PROBE=square keeps the full-square variant
-    use_pairs = _os.environ.get("GRAPHTPU_LCC_PROBE", "pairs") != "square"
+    # gathers); GRAPHTPU_LCC_PROBE=square keeps the full-square variant,
+    # "pairs-sorted"/"square-sorted" issue row gathers in sorted order
+    # (edgehash._probe_lanes_sorted locality A/B)
+    probe_mode = _os.environ.get("GRAPHTPU_LCC_PROBE", "pairs")
+    use_pairs = not probe_mode.startswith("square")
+    sort_probes = probe_mode.endswith("-sorted")
     pair_cache: dict = {}
     # cap the pair count per dispatch: a single compiled call that runs
     # for minutes trips the TPU worker's watchdog ("worker crashed")
@@ -524,6 +531,7 @@ def lcc_oriented_numerator(plan: WedgePlan, progress: bool = False) -> np.ndarra
                 plan.id_bits,
                 b.chunk_cols,
                 pairs,
+                sort_probes=sort_probes,
             )
             u_parts.append(u_c)
             e_parts.append(e_c)

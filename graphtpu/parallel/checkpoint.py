@@ -83,6 +83,10 @@ def save_pull(sg: ShardedGraph, intermediate_dir, graph_name: str) -> Path:
     return d
 
 
+def _is_primary() -> bool:
+    return jax.process_index() == 0
+
+
 def load_pull(
     sg: ShardedGraph, intermediate_dir, graph_name: str
 ) -> Optional[ShardedCOO]:
@@ -125,3 +129,119 @@ def load_pull(
     sg._pull = coo
     log.info("sharded checkpoint loaded: %s", d)
     return coo
+
+
+# -------------------------------------------------------------- slab plans
+#
+# The production distributed kernels (parallel/slab_pr.py,
+# parallel/slab_cdlp.py) run over a host-built DistSlabPlan rather than
+# the pull COO, so the skip-if-exists contract must cover the plan
+# itself: the expensive parts of a repeat run are the host-side
+# pull/incidence lexsorts and the per-bucket slab fills, all of which the
+# plan checkpoint skips. Layout mirrors save_pull: one npz per device
+# shard (bucket slices + heavy stream slices) plus a replicated npz
+# (assembly permutation, incidence mask) and a manifest.
+
+PLAN_VERSION = 1
+
+
+def _plan_dir(intermediate_dir, graph_name: str, num_devices: int, kind: str) -> Path:
+    return _dir(intermediate_dir, graph_name, num_devices) / f"plan-{kind}"
+
+
+def plan_exists(intermediate_dir, graph_name: str, num_devices: int, kind: str) -> bool:
+    return (_plan_dir(intermediate_dir, graph_name, num_devices, kind) / MANIFEST).exists()
+
+
+def save_plan(plan, intermediate_dir, graph_name: str, num_devices: int,
+              n: int, kind: str, buckets) -> Optional[Path]:
+    """Persist a DistSlabPlan. Only the primary process writes (the plan
+    build is deterministic and replicated, so other processes hold the
+    same content)."""
+    if not _is_primary():
+        return None
+    d = _plan_dir(intermediate_dir, graph_name, num_devices, kind)
+    d.mkdir(parents=True, exist_ok=True)
+    bucket_shards = [_shards_by_device(s) for s in plan.bucket_slabs]
+    heavy_shards = (
+        [_shards_by_device(h) for h in plan.heavy] if plan.heavy is not None else None
+    )
+    for dev in range(num_devices):
+        arrays = {f"bucket{i}": bs[dev] for i, bs in enumerate(bucket_shards)}
+        if heavy_shards is not None:
+            arrays["heavy_c"], arrays["heavy_nb"], arrays["heavy_ip"] = (
+                hs[dev] for hs in heavy_shards
+            )
+        tmp = d / f"shard-{dev}.tmp.npz"
+        np.savez_compressed(tmp, **arrays)
+        tmp.replace(d / f"shard-{dev}.npz")
+    tmp = d / "replicated.tmp.npz"
+    np.savez_compressed(
+        tmp,
+        inv_perm=np.asarray(plan.inv_perm),
+        has_neighbors=np.asarray(plan.has_neighbors),
+    )
+    tmp.replace(d / "replicated.npz")
+    manifest = {
+        "version": PLAN_VERSION,
+        "num_devices": num_devices,
+        "n": n,
+        "kind": kind,
+        "buckets": [int(b) for b in buckets],
+        "num_buckets": len(plan.bucket_slabs),
+        "heavy": plan.heavy is not None,
+    }
+    (d / MANIFEST).write_text(json.dumps(manifest, indent=2))
+    log.info("slab plan checkpoint written: %s (%d shards)", d, num_devices)
+    return d
+
+
+def load_plan(intermediate_dir, graph_name: str, kind: str, mesh, n: int, buckets):
+    """Restore a DistSlabPlan onto `mesh`. Returns None when absent or
+    incompatible (different mesh size, graph size, or bucket config)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from graphtpu.parallel.mesh import ROWS_AXIS
+    from graphtpu.parallel.partition import put_sharded
+    from graphtpu.parallel.slab_cdlp import DistSlabPlan
+
+    num_devices = int(mesh.devices.size)
+    d = _plan_dir(intermediate_dir, graph_name, num_devices, kind)
+    mf = d / MANIFEST
+    if not mf.exists():
+        return None
+    manifest = json.loads(mf.read_text())
+    if (
+        manifest.get("version") != PLAN_VERSION
+        or manifest.get("num_devices") != num_devices
+        or manifest.get("n") != n
+        or manifest.get("kind") != kind
+        or manifest.get("buckets") != [int(b) for b in buckets]
+    ):
+        log.warning("slab plan checkpoint at %s incompatible — ignoring", d)
+        return None
+    num_buckets = manifest["num_buckets"]
+    per_dev = []
+    for dev in range(num_devices):
+        with np.load(d / f"shard-{dev}.npz") as z:
+            per_dev.append({k: z[k] for k in z.files})
+    edge_sharding3 = NamedSharding(mesh, P(ROWS_AXIS, None, None))
+    edge_sharding2 = NamedSharding(mesh, P(ROWS_AXIS, None))
+    replicated = NamedSharding(mesh, P())
+    slabs = tuple(
+        put_sharded(np.stack([per_dev[dev][f"bucket{i}"] for dev in range(num_devices)]),
+                    edge_sharding3)
+        for i in range(num_buckets)
+    )
+    heavy = None
+    if manifest["heavy"]:
+        heavy = tuple(
+            put_sharded(np.stack([per_dev[dev][k] for dev in range(num_devices)]),
+                        edge_sharding2)
+            for k in ("heavy_c", "heavy_nb", "heavy_ip")
+        )
+    with np.load(d / "replicated.npz") as z:
+        inv_perm = put_sharded(z["inv_perm"], replicated)
+        has_neighbors = put_sharded(z["has_neighbors"], replicated)
+    log.info("slab plan checkpoint loaded: %s", d)
+    return DistSlabPlan(slabs, heavy, inv_perm, has_neighbors)

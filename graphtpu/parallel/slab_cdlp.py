@@ -253,7 +253,18 @@ def cdlp_slab_dist(sg, itermax: int, buckets=DEFAULT_BUCKETS):
     (labels [n] np.int32, iterations)."""
     plan = getattr(sg, "_dist_slab_plan", None)
     if plan is None or getattr(sg, "_dist_slab_buckets", None) != tuple(buckets):
-        plan = build_dist_slab_plan(sg.graph, sg.mesh, buckets)
+        from graphtpu.parallel import checkpoint as ckpt_mod
+
+        ck = getattr(sg, "ckpt", None)
+        plan = None
+        if ck is not None:
+            plan = ckpt_mod.load_plan(*ck, kind="cdlp-incidence", mesh=sg.mesh,
+                                      n=sg.n, buckets=buckets)
+        if plan is None:
+            plan = build_dist_slab_plan(sg.graph, sg.mesh, buckets)
+            if ck is not None:
+                ckpt_mod.save_plan(plan, *ck, num_devices=sg.num_devices,
+                                   n=sg.n, kind="cdlp-incidence", buckets=buckets)
         sg._dist_slab_plan = plan
         sg._dist_slab_buckets = tuple(buckets)
     labels0 = jnp.arange(sg.n, dtype=jnp.int32)

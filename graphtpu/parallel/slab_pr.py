@@ -93,10 +93,20 @@ def pr_slab_dist(sg, damping: float, num_iterations: int, dtype=np.float32):
     [n] as a host array."""
     plan = getattr(sg, "_dist_pr_plan", None)
     if plan is None:
-        src, dst, _ = sg.graph.pull_arrays()
-        plan = build_dist_slab_plan_from(
-            dst.astype(np.int64), src.astype(np.int32), sg.n, sg.mesh, DEFAULT_BUCKETS
-        )
+        from graphtpu.parallel import checkpoint as ckpt_mod
+
+        ck = getattr(sg, "ckpt", None)
+        if ck is not None:
+            plan = ckpt_mod.load_plan(*ck, kind="pr-pull", mesh=sg.mesh,
+                                      n=sg.n, buckets=DEFAULT_BUCKETS)
+        if plan is None:
+            src, dst, _ = sg.graph.pull_arrays()
+            plan = build_dist_slab_plan_from(
+                dst.astype(np.int64), src.astype(np.int32), sg.n, sg.mesh, DEFAULT_BUCKETS
+            )
+            if ck is not None:
+                ckpt_mod.save_plan(plan, *ck, num_devices=sg.num_devices,
+                                   n=sg.n, kind="pr-pull", buckets=DEFAULT_BUCKETS)
         sg._dist_pr_plan = plan
     from graphtpu.parallel.partition import put_sharded
 

@@ -64,18 +64,47 @@ def _dist_wedge_bucket(slab, mslab, ehash, mesh, id_bits, chunk_cols):
 
 
 @partial(jax.jit, static_argnames=("mesh", "n"))
-def _dist_aggregate_heads(e_creds, pos, perm, hip, mesh, n):
-    """Per-device head-sorted segment-sum of that device's real slab-entry
-    credits, combined across the mesh with one psum. Dummy (padding)
-    entries point past the flat concat at an appended zero and live in a
-    trailing junk segment (head == n)."""
+def _dist_head_bookkeeping(slabs, mesh, n):
+    """Per-device head-credit bookkeeping, entirely on device (the host
+    version D2H-copied every slab and argsorted per device — minutes of
+    single-core work at graph scale). Every slab position (including
+    padding — padding credits are provably zero, see left-packing note in
+    ops/triangles.py) maps to one entry: head id (padding → n, the junk
+    segment) and its flat position in the device-local credit concat.
+    One (head, pos) sort + an n+2-boundary searchsorted per device yield
+    the head-ordered gather permutation and the segment indptr."""
 
-    def block(es, pos_d, perm_d, hip_d):
-        flat = jnp.concatenate(
-            [e[0].reshape(-1) for e in es] + [jnp.zeros((1,), jnp.int32)]
-        )
-        vals = table_gather(flat, pos_d[0])
-        ordered = table_gather(vals, perm_d[0])
+    def block(slabs):
+        parts = [
+            jnp.where(s[0] >= 0, s[0], n).reshape(-1) for s in slabs
+        ]
+        heads = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        pos = jnp.arange(heads.shape[0], dtype=jnp.int32)
+        heads_s, pos_s = jax.lax.sort((heads, pos), num_keys=1)
+        hip = jnp.searchsorted(
+            heads_s, jnp.arange(n + 2, dtype=heads_s.dtype)
+        ).astype(jnp.int32)
+        return pos_s[None], hip[None]
+
+    return jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(tuple(P(ROWS_AXIS, None, None) for _ in slabs),),
+        out_specs=(P(ROWS_AXIS, None), P(ROWS_AXIS, None)),
+        check_vma=False,
+    )(slabs)
+
+
+@partial(jax.jit, static_argnames=("mesh", "n"))
+def _dist_aggregate_heads(e_creds, pos, hip, mesh, n):
+    """Per-device head-sorted segment-sum of that device's slab-entry
+    credits, combined across the mesh with one psum. `pos` is already
+    head-ordered (from _dist_head_bookkeeping); padding entries carry
+    zero credit and live in the trailing junk segment (head == n)."""
+
+    def block(es, pos_d, hip_d):
+        flat = jnp.concatenate([e[0].reshape(-1) for e in es])
+        ordered = table_gather(flat, pos_d[0])
         part = seg_sum_scan(
             ordered.astype(jnp.float32), hip_d[0], out_dtype=jnp.float64
         )[:n]
@@ -88,11 +117,10 @@ def _dist_aggregate_heads(e_creds, pos, perm, hip, mesh, n):
             tuple(P(ROWS_AXIS, None, None) for _ in e_creds),
             P(ROWS_AXIS, None),
             P(ROWS_AXIS, None),
-            P(ROWS_AXIS, None),
         ),
         out_specs=P(),
         check_vma=False,
-    )(e_creds, pos, perm, hip)
+    )(e_creds, pos, hip)
 
 
 def lcc_oriented_dist_numerator(plan: WedgePlan, mesh) -> np.ndarray:
@@ -101,14 +129,10 @@ def lcc_oriented_dist_numerator(plan: WedgePlan, mesh) -> np.ndarray:
     n = plan.n
     num_devices = int(mesh.devices.size)
     sharding3 = NamedSharding(mesh, P(ROWS_AXIS, None, None))
-    sharding2 = NamedSharding(mesh, P(ROWS_AXIS, None))
 
     numerator_ranked = np.zeros(n, dtype=np.int64)
     e_creds = []
-    # per-device bookkeeping of real slab entries (flat pos + head id)
-    pos_parts = [[] for _ in range(num_devices)]
-    head_parts = [[] for _ in range(num_devices)]
-    local_off = 0
+    dev_slabs = []
 
     for b in plan.buckets:
         slab_np = np.asarray(b.slab)    # [W, r_pad]
@@ -119,19 +143,19 @@ def lcc_oriented_dist_numerator(plan: WedgePlan, mesh) -> np.ndarray:
         if r_tot != r_pad:
             slab_np = np.pad(slab_np, ((0, 0), (0, r_tot - r_pad)), constant_values=-1)
             mslab_np = np.pad(mslab_np, ((0, 0), (0, r_tot - r_pad)))
-        dev_slab = np.ascontiguousarray(
-            slab_np.reshape(w, num_devices, r_dev).transpose(1, 0, 2)
+        dev_slab = put_sharded(
+            np.ascontiguousarray(
+                slab_np.reshape(w, num_devices, r_dev).transpose(1, 0, 2)
+            ),
+            sharding3,
         )
-        dev_mslab = np.ascontiguousarray(
-            mslab_np.reshape(w, num_devices, r_dev).transpose(1, 0, 2)
+        dev_mslab = put_sharded(
+            np.ascontiguousarray(
+                mslab_np.reshape(w, num_devices, r_dev).transpose(1, 0, 2)
+            ),
+            sharding3,
         )
-
-        # per-device real-entry bookkeeping for the head aggregation
-        for d in range(num_devices):
-            ww, rr = np.nonzero(dev_slab[d] >= 0)
-            pos_parts[d].append(local_off + ww.astype(np.int64) * r_dev + rr)
-            head_parts[d].append(dev_slab[d][ww, rr].astype(np.int64))
-        local_off += w * r_dev
+        dev_slabs.append(dev_slab)
 
         # probe, slicing columns to bound per-device dispatch size
         rpd = max(
@@ -143,8 +167,8 @@ def lcc_oriented_dist_numerator(plan: WedgePlan, mesh) -> np.ndarray:
         for s0 in range(0, r_dev, rpd):
             s1 = min(s0 + rpd, r_dev)
             u_g, e_g = _dist_wedge_bucket(
-                put_sharded(dev_slab[:, :, s0:s1], sharding3),
-                put_sharded(dev_mslab[:, :, s0:s1], sharding3),
+                jax.lax.slice_in_dim(dev_slab, s0, s1, axis=2),
+                jax.lax.slice_in_dim(dev_mslab, s0, s1, axis=2),
                 plan.ehash,
                 mesh,
                 plan.id_bits,
@@ -160,30 +184,8 @@ def lcc_oriented_dist_numerator(plan: WedgePlan, mesh) -> np.ndarray:
         numerator_ranked[b.rows] += u_full[: b.r_real]
 
     if e_creds:
-        flat_len = local_off  # dummies index the appended zero past the concat
-        m_max = max(
-            _round_up(max(sum(p.shape[0] for p in pos_parts[d]) for d in range(num_devices)), 1024),
-            1024,
-        )
-        pos = np.full((num_devices, m_max), flat_len, dtype=np.int32)
-        perm = np.zeros((num_devices, m_max), dtype=np.int32)
-        hip = np.zeros((num_devices, n + 2), dtype=np.int32)
-        for d in range(num_devices):
-            p = np.concatenate(pos_parts[d]) if pos_parts[d] else np.empty(0, np.int64)
-            h = np.concatenate(head_parts[d]) if head_parts[d] else np.empty(0, np.int64)
-            pos[d, : p.shape[0]] = p
-            head_pad = np.full(m_max, n, dtype=np.int64)
-            head_pad[: h.shape[0]] = h
-            perm[d] = np.argsort(head_pad, kind="stable").astype(np.int32)
-            hip[d, 1:] = np.cumsum(np.bincount(head_pad, minlength=n + 1))
-        head_cred = _dist_aggregate_heads(
-            tuple(e_creds),
-            put_sharded(pos, sharding2),
-            put_sharded(perm, sharding2),
-            put_sharded(hip, sharding2),
-            mesh,
-            n,
-        )
+        pos, hip = _dist_head_bookkeeping(tuple(dev_slabs), mesh, n)
+        head_cred = _dist_aggregate_heads(tuple(e_creds), pos, hip, mesh, n)
         numerator_ranked += np.asarray(head_cred).astype(np.int64)
 
     _patch_spilled(plan, numerator_ranked)

@@ -4,6 +4,10 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# CI validates on the CPU backend by default (deterministic, works with
+# no/wedged accelerator); export GRAPHTPU_PLATFORM yourself to override.
+export GRAPHTPU_PLATFORM="${GRAPHTPU_PLATFORM:-cpu}"
+
 echo "== build native ingest library =="
 make -C native
 

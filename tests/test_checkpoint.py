@@ -63,16 +63,28 @@ def test_dispatch_uses_checkpoint_on_repeat_run(tmp_path, monkeypatch):
 
     params = spec.params["pr"]
     r1 = run_algorithm("pr", g, params, cfg)
-    assert ckpt.exists(tmp_path, "example-directed", cfg.num_devices)
+    # production PR is the distributed slab plan — its plan checkpoint
+    # (not the pull COO) is the persisted partition
+    assert ckpt.plan_exists(tmp_path, "example-directed", cfg.num_devices, "pr-pull")
+    c1 = run_algorithm("cdlp", g, spec.params["cdlp"], cfg)
+    assert ckpt.plan_exists(
+        tmp_path, "example-directed", cfg.num_devices, "cdlp-incidence"
+    )
 
     # fresh platform state: drop the in-memory sharded views, reload the
     # graph, and forbid repartitioning — the checkpoint must carry the run
     dispatch.purge_sharded(g)
     g2 = load_graph_from_spec(spec, intermediate_dir=str(tmp_path))
 
-    def _no_rebuild(self, graph):
+    def _no_rebuild(*a, **k):
         raise AssertionError("repartitioned despite existing checkpoint")
 
+    from graphtpu.parallel import slab_cdlp, slab_pr
+
     monkeypatch.setattr(ShardedGraph, "_build_pull", _no_rebuild)
+    monkeypatch.setattr(slab_pr, "build_dist_slab_plan_from", _no_rebuild)
+    monkeypatch.setattr(slab_cdlp, "build_dist_slab_plan", _no_rebuild)
     r2 = run_algorithm("pr", g2, params, cfg)
     np.testing.assert_allclose(r2.values, r1.values, rtol=1e-6)
+    c2 = run_algorithm("cdlp", g2, spec.params["cdlp"], cfg)
+    np.testing.assert_array_equal(c2.values, c1.values)

@@ -84,6 +84,11 @@ def test_pair_list_probe_matches_square(monkeypatch):
     monkeypatch.setenv("GRAPHTPU_LCC_PROBE", "pairs")
     b = lcc_oriented_numerator(plan)
     np.testing.assert_array_equal(a, b)
+    # sorted-row-gather variants (locality A/B knob) are bit-identical
+    monkeypatch.setenv("GRAPHTPU_LCC_PROBE", "pairs-sorted")
+    np.testing.assert_array_equal(lcc_oriented_numerator(plan), a)
+    monkeypatch.setenv("GRAPHTPU_LCC_PROBE", "square-sorted")
+    np.testing.assert_array_equal(lcc_oriented_numerator(plan), a)
 
 
 def test_wedge_cache_roundtrip(tmp_path):
