@@ -130,6 +130,41 @@ def cmd_benchmark(args) -> int:
     return 1 if bad else 0
 
 
+def cmd_download(args) -> int:
+    from graphtpu.ingest.download import (
+        DEFAULT_BASE_URL,
+        SMALL_DATASETS,
+        download_dataset,
+        download_small_datasets,
+    )
+
+    args.base_url = args.base_url or DEFAULT_BASE_URL
+    try:
+        if args.all_small:
+            paths = download_small_datasets(
+                args.graphs_dir, base_url=args.base_url, force=args.force
+            )
+            for p in paths:
+                print(f"ready: {p}")
+            return 0
+        if not args.graph:
+            print(f"download: need --graph <name> (known: {', '.join(SMALL_DATASETS)}) "
+                  "or --all-small", file=sys.stderr)
+            return 2
+        p = download_dataset(
+            args.graph,
+            args.graphs_dir,
+            base_url=args.base_url,
+            url=args.url,
+            force=args.force,
+        )
+        print(f"ready: {p}")
+        return 0
+    except OSError as e:
+        print(f"download failed: {e}", file=sys.stderr)
+        return 1
+
+
 def cmd_devices(args) -> int:
     import jax
 
@@ -180,6 +215,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--algorithms", default=None, help="comma list, overrides config")
     _add_platform_flags(p)
     p.set_defaults(fn=cmd_benchmark)
+
+    p = sub.add_parser("download",
+                       help="fetch Graphalytics dataset archives (download-dataset-small.sh analogue)")
+    p.add_argument("--graph", default=None, help="dataset name (e.g. datagen-7_5-fb)")
+    p.add_argument("--all-small", action="store_true",
+                   help="fetch the reference's full small-data-set list")
+    p.add_argument("--graphs-dir", default="./graphs")
+    p.add_argument("--base-url", default=None)
+    p.add_argument("--url", default=None,
+                   help="explicit archive URL (.tar.zst/.tar.gz/.tar; file:// supported)")
+    p.add_argument("--force", action="store_true", help="re-download even if present")
+    p.set_defaults(fn=cmd_download)
 
     p = sub.add_parser("devices", help="show the JAX device inventory")
     p.set_defaults(fn=cmd_devices)
