@@ -56,8 +56,15 @@ def _resolve_w() -> int:
 # bounded (XLA's remat of the fused gather OOM'd at 60M+ indices).
 # Chunking costs ~3x on the chunks themselves (fusion boundaries), so the
 # threshold is set well above every per-bucket slab size.
-_CHUNK_THRESHOLD = 1 << 25
-_CHUNK = 1 << 22  # swept: 4M chunks run ~2x faster than 16M ones at 60M+ indices
+import os as _os
+
+_CHUNK_THRESHOLD = int(
+    _os.environ.get("GRAPHTPU_GATHER_CHUNK_THRESHOLD", 1 << 25)
+)
+# swept: 4M chunks run ~2x faster than 16M ones at 60M+ indices (tuned at
+# W=8; GRAPHTPU_GATHER_CHUNK re-tunes without code edits — read once at
+# import, so set it before the first graphtpu import)
+_CHUNK = int(_os.environ.get("GRAPHTPU_GATHER_CHUNK", 1 << 22))
 
 
 def _gather_block(x2d: jax.Array, idx: jax.Array, dtype) -> jax.Array:

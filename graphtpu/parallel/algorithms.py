@@ -331,7 +331,9 @@ def lcc_dist(sg: ShardedGraph, cfg=None):
         from graphtpu.parallel.wedge_lcc import lcc_oriented_dist
 
         try:
-            return lcc_oriented_dist(sg)
+            return lcc_oriented_dist(
+                sg, cache_dir=getattr(cfg, "intermediate_dir", None)
+            )
         except ValueError:
             if impl == "oriented":
                 raise

@@ -45,22 +45,35 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@partial(jax.jit, static_argnames=("mesh", "id_bits", "chunk_cols"))
-def _dist_wedge_bucket(slab, mslab, ehash, mesh, id_bits, chunk_cols):
-    """One sharded bucket slice: per-device pair-square probes. Returns
-    (u credits all_gathered [D*R_dev], edge credits sharded [D, W, R_dev])."""
+@partial(
+    jax.jit, static_argnames=("mesh", "id_bits", "chunk_cols", "sort_probes")
+)
+def _dist_wedge_bucket(
+    slab, mslab, ehash, mesh, id_bits, chunk_cols, pairs=None, sort_probes=False
+):
+    """One sharded bucket slice: per-device probes — the upper-triangle
+    pair list when `pairs` is given (half the table gathers, same as the
+    single-chip default), else the full pair square. Returns (u credits
+    all_gathered [D*R_dev], edge credits sharded [D, W, R_dev])."""
 
-    def block(s, m, eh):
-        u, e = _wedge_bucket(s[0], m[0], eh, id_bits, chunk_cols)
+    def block(s, m, eh, pr):
+        u, e = _wedge_bucket(
+            s[0], m[0], eh, id_bits, chunk_cols, pr, sort_probes=sort_probes
+        )
         return jax.lax.all_gather(u, ROWS_AXIS, tiled=True), e[None]
 
     return jax.shard_map(
         block,
         mesh=mesh,
-        in_specs=(P(ROWS_AXIS, None, None), P(ROWS_AXIS, None, None), P()),
+        in_specs=(
+            P(ROWS_AXIS, None, None),
+            P(ROWS_AXIS, None, None),
+            P(),
+            P(),
+        ),
         out_specs=(P(), P(ROWS_AXIS, None, None)),
         check_vma=False,
-    )(slab, mslab, ehash)
+    )(slab, mslab, ehash, pairs)
 
 
 @partial(jax.jit, static_argnames=("mesh", "n"))
@@ -126,6 +139,8 @@ def _dist_aggregate_heads(e_creds, pos, hip, mesh, n):
 def lcc_oriented_dist_numerator(plan: WedgePlan, mesh) -> np.ndarray:
     """Triangle-credit numerator per RANKED vertex id, computed over the
     mesh. Mirrors lcc_oriented_numerator's credit accounting exactly."""
+    import os as _os
+
     n = plan.n
     num_devices = int(mesh.devices.size)
     sharding3 = NamedSharding(mesh, P(ROWS_AXIS, None, None))
@@ -133,6 +148,11 @@ def lcc_oriented_dist_numerator(plan: WedgePlan, mesh) -> np.ndarray:
     numerator_ranked = np.zeros(n, dtype=np.int64)
     e_creds = []
     dev_slabs = []
+    # same probe-mode knob as the single-chip path (pair list by default)
+    probe_mode = _os.environ.get("GRAPHTPU_LCC_PROBE", "pairs")
+    use_pairs = not probe_mode.startswith("square")
+    sort_probes = probe_mode.endswith("-sorted")
+    pair_cache: dict = {}
 
     for b in plan.buckets:
         slab_np = np.asarray(b.slab)    # [W, r_pad]
@@ -157,6 +177,14 @@ def lcc_oriented_dist_numerator(plan: WedgePlan, mesh) -> np.ndarray:
         )
         dev_slabs.append(dev_slab)
 
+        pairs = None
+        if use_pairs:
+            pairs = pair_cache.get(w)
+            if pairs is None:
+                from graphtpu.ops.triangles import _pair_tables
+
+                pairs = pair_cache[w] = _pair_tables(w)
+
         # probe, slicing columns to bound per-device dispatch size
         rpd = max(
             b.chunk_cols,
@@ -173,6 +201,8 @@ def lcc_oriented_dist_numerator(plan: WedgePlan, mesh) -> np.ndarray:
                 mesh,
                 plan.id_bits,
                 b.chunk_cols,
+                pairs,
+                sort_probes=sort_probes,
             )
             u_np = np.asarray(u_g).reshape(num_devices, s1 - s0)
             for d in range(num_devices):
@@ -192,14 +222,16 @@ def lcc_oriented_dist_numerator(plan: WedgePlan, mesh) -> np.ndarray:
     return numerator_ranked
 
 
-def lcc_oriented_dist(sg) -> np.ndarray:
+def lcc_oriented_dist(sg, cache_dir=None) -> np.ndarray:
     """Local clustering coefficients (float64 per ORIGINAL vertex id)
     over the ShardedGraph's mesh. The wedge plan is memoized on the
-    underlying Graph, shared with the single-chip path."""
+    underlying Graph, shared with the single-chip path; with `cache_dir`
+    the oriented edge list persists across runs (same contract as
+    lcc_oriented)."""
     graph = sg.graph
     plan = getattr(graph, "_wedge_plan", None)
     if plan is None:
-        plan = prepare_wedge_plan(graph)
+        plan = prepare_wedge_plan(graph, cache_dir=cache_dir)
         graph._wedge_plan = plan
     num_ranked = lcc_oriented_dist_numerator(plan, sg.mesh)
     num = num_ranked[plan.rank].astype(np.float64)

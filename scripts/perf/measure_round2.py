@@ -68,12 +68,31 @@ def main():
     plan = prepare_wedge_plan(g, cache_dir="./intermediate")
     print(f"lcc prep: {time.perf_counter()-t0:.1f}s", flush=True)
 
-    for probe in ("pairs", "square"):
+    nums = {}
+    for probe in ("pairs", "pairs-sorted", "square"):
         os.environ["GRAPHTPU_LCC_PROBE"] = probe
         t0 = time.perf_counter()
-        num = lcc_oriented_numerator(plan, progress=True)
+        nums[probe] = lcc_oriented_numerator(plan, progress=True)
         dt = time.perf_counter() - t0
         print(f"lcc numerator [{probe}]: {dt:.1f}s", flush=True)
+    for probe, num in nums.items():
+        if not np.array_equal(num, nums["pairs"]):
+            print(f"lcc MISMATCH: {probe} != pairs", flush=True)
+
+    # fill=0.5 halves the table (536 MB at s20/ef32) — tests whether the
+    # probe is table-size bound rather than issue-rate bound
+    os.environ["GRAPHTPU_LCC_PROBE"] = "pairs"
+    os.environ["GRAPHTPU_LCC_HASH_FILL"] = "0.5"
+    t0 = time.perf_counter()
+    plan2 = prepare_wedge_plan(g, cache_dir="./intermediate")  # oriented cache hit; hash rebuilt at fill=0.5
+    print(f"lcc re-prep fill=0.5: {time.perf_counter()-t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    num2 = lcc_oriented_numerator(plan2)
+    dt = time.perf_counter() - t0
+    print(f"lcc numerator [pairs fill=0.5]: {dt:.1f}s "
+          f"{'OK' if np.array_equal(num2, nums['pairs']) else 'MISMATCH'}",
+          flush=True)
+    del os.environ["GRAPHTPU_LCC_HASH_FILL"]
 
     # ---------------- CDLP regression check ----------------
     from graphtpu.algorithms.cdlp import build_incidence

@@ -138,3 +138,44 @@ def test_lcc_dispatch_auto_uses_oriented():
     g = rmat_graph(6, 6, directed=False, seed=1)
     res = ALGORITHMS["lcc"](g, AlgorithmParams(), PlatformConfig())
     np.testing.assert_array_equal(res.values, _sweep(g))
+
+
+def test_optimal_bucket_bounds():
+    """DP boundaries: cover max d+, strictly increasing, never cost more
+    padded probes than the static ladder, exact for few distinct degrees."""
+    from graphtpu.ops.triangles import _WEDGE_BUCKETS, _optimal_bucket_bounds
+
+    rng = np.random.default_rng(0)
+    # heavy-tailed degree sample capped at the static-ladder max
+    d_plus = np.minimum(
+        (rng.pareto(1.2, size=20000) * 4).astype(np.int64), _WEDGE_BUCKETS[-1]
+    )
+    bounds = _optimal_bucket_bounds(d_plus)
+    assert bounds == sorted(set(bounds))
+    assert bounds[-1] == int(d_plus.max())
+    assert len(bounds) <= 16
+
+    def padded(bks):
+        tot, prev = 0, 1
+        for w in bks:
+            rows = int(((d_plus > prev) & (d_plus <= w)).sum())
+            tot += rows * (w * (w - 1) // 2)
+            prev = w
+        return tot
+
+    assert padded(bounds) <= padded(_WEDGE_BUCKETS)
+
+    # few distinct degrees => exact buckets (zero padding)
+    small = np.array([0, 1, 2, 2, 3, 7, 7, 9])
+    assert _optimal_bucket_bounds(small) == [2, 3, 7, 9]
+    assert _optimal_bucket_bounds(np.array([1, 1, 0])) == []
+
+
+def test_oriented_static_bucket_knob(monkeypatch):
+    """GRAPHTPU_LCC_BUCKETS=static restores the fixed ladder and the
+    numerator is unchanged."""
+    g = rmat_graph(8, 8, directed=False, seed=3)
+    ref = lcc_oriented(g)
+    g2 = rmat_graph(8, 8, directed=False, seed=3)
+    monkeypatch.setenv("GRAPHTPU_LCC_BUCKETS", "static")
+    np.testing.assert_array_equal(lcc_oriented(g2), ref)
