@@ -252,7 +252,7 @@ class AdaptivePrep(NamedTuple):
 def prepare_cdlp_adaptive(graph, centers, neigh, deg, cfg=None) -> AdaptivePrep:
     n = graph.n
     deg = np.asarray(deg, dtype=np.int64)
-    buckets = tuple(cfg.slab_buckets) if cfg and cfg.slab_buckets else DEFAULT_BUCKETS
+    buckets = tuple(cfg.slab_buckets) if cfg and cfg.slab_buckets else None
     plan = build_slab_plan(centers, neigh, deg, n, buckets)
     indptr = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(deg, out=indptr[1:])
@@ -301,7 +301,7 @@ def cdlp_adaptive_run(graph, centers, neigh, deg, itermax, cfg=None):
     indptr_h = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(deg, out=indptr_h[1:])
 
-    buckets = tuple(cfg.slab_buckets) if cfg and cfg.slab_buckets else DEFAULT_BUCKETS
+    buckets = tuple(cfg.slab_buckets) if cfg and cfg.slab_buckets else None
     plan = build_slab_plan(centers, neigh, deg, n, buckets)
     threshold = getattr(cfg, "cdlp_active_threshold", None) or DEFAULT_ACTIVE_THRESHOLD
     thresh_edges = threshold * max(m_total, 1)

@@ -213,7 +213,7 @@ def _cdlp_one_step(plan: SlabPlan, labels, first=False):
 
 def cdlp_slab_run(graph, centers, neigh, deg, itermax, cfg):
     """Entry point used by graphtpu/algorithms/cdlp.py. Returns (labels, it)."""
-    buckets = tuple(cfg.slab_buckets) if cfg and cfg.slab_buckets else DEFAULT_BUCKETS
+    buckets = tuple(cfg.slab_buckets) if cfg and cfg.slab_buckets else None
     plan = build_slab_plan(centers, neigh, deg.astype(np.int64), graph.n, buckets)
     labels0 = jnp.arange(graph.n, dtype=jnp.int32)
     # duplicate-free incidence (undirected simple graphs) admits the

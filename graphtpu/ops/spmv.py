@@ -68,15 +68,13 @@ def build_pull_plan(
 
     `with_values=False` skips the value slabs (for ⊗ = second semirings,
     halving slab memory)."""
-    from graphtpu.ops.slab import DEFAULT_BUCKETS
-
     s, d, w = graph.pull_arrays()
     centers = d.astype(np.int64)
     neigh = s
     values = w.astype(wdtype) if with_values else None
     deg = np.bincount(centers, minlength=graph.n).astype(np.int64)
     return build_slab_plan(
-        centers, neigh, deg, graph.n, buckets or DEFAULT_BUCKETS, values=values
+        centers, neigh, deg, graph.n, buckets, values=values
     )
 
 

@@ -70,48 +70,12 @@ def _optimal_bucket_bounds(d_plus: np.ndarray, k: int = 0) -> list:
     `GRAPHTPU_LCC_BUCKET_K` overrides the bucket budget (default 16)."""
     import os as _os
 
+    from graphtpu.ops.slab import optimal_bucket_bounds
+
     if _os.environ.get("GRAPHTPU_LCC_BUCKETS", "") == "static":
         return list(_WEDGE_BUCKETS)
     k = k or int(_os.environ.get("GRAPHTPU_LCC_BUCKET_K", "16"))
-    hist = np.bincount(d_plus) if d_plus.size else np.zeros(1, np.int64)
-    if hist.shape[0] <= 2:
-        return []
-    ends = (np.nonzero(hist[2:])[0] + 2).astype(np.int64)  # distinct d+ >= 2
-    if ends.size == 0:
-        return []
-    if ends.size <= k:
-        return ends.tolist()
-    csum = np.cumsum(hist)                   # rows with d+ <= d
-    w = (ends * (ends - 1) // 2).astype(np.float64)
-    s = csum[ends].astype(np.float64)        # rows covered through ends[j]
-    base = float(csum[1])                    # rows with d+ < 2 (no wedges)
-    e = ends.size
-    jlt = np.tril(np.ones((e, e), bool), k=-1)   # j < i
-    prev_dp = w * (s - base)                 # one bucket covering (1, e_i]
-    parents = []
-    for _ in range(2, k + 1):
-        a = prev_dp[None, :] - s[None, :] * w[:, None]      # [i, j]
-        a = np.where(jlt, a, np.inf)
-        j_best = np.argmin(a, axis=1)
-        cut = a[np.arange(e), j_best] + s * w
-        dp = np.minimum(prev_dp, cut)
-        parents.append(np.where(cut < prev_dp, j_best, -1))
-        prev_dp = dp
-    bounds = []
-    i = e - 1
-    kk = len(parents) - 1
-    while True:
-        if kk < 0:
-            bounds.append(int(ends[i]))
-            break
-        p = int(parents[kk][i])
-        if p < 0:
-            kk -= 1                          # skip: fewer buckets suffice
-            continue
-        bounds.append(int(ends[i]))
-        i = p
-        kk -= 1
-    return sorted(bounds)
+    return optimal_bucket_bounds(d_plus, k=k, kind="pairs", lo=1)
 
 
 class WedgeBucket(NamedTuple):

@@ -303,13 +303,12 @@ def cdlp_dist(sg: ShardedGraph, itermax: int, cfg=None):
     `cdlp_impl = "sort"` keeps the per-shard sort formulation."""
     impl = getattr(cfg, "cdlp_impl", "") or "slab"
     if impl != "sort":
-        from graphtpu.ops.slab import DEFAULT_BUCKETS
         from graphtpu.parallel.slab_cdlp import cdlp_slab_dist
 
         buckets = (
             tuple(cfg.slab_buckets)
             if cfg is not None and getattr(cfg, "slab_buckets", None)
-            else DEFAULT_BUCKETS
+            else None
         )
         return cdlp_slab_dist(sg, itermax, buckets)
     inc = sg.incidence()

@@ -187,7 +187,7 @@ def save_plan(plan, intermediate_dir, graph_name: str, num_devices: int,
         "num_devices": num_devices,
         "n": n,
         "kind": kind,
-        "buckets": [int(b) for b in buckets],
+        "buckets": "auto" if buckets is None else [int(b) for b in buckets],
         "num_buckets": len(plan.bucket_slabs),
         "heavy": plan.heavy is not None,
     }
@@ -216,7 +216,8 @@ def load_plan(intermediate_dir, graph_name: str, kind: str, mesh, n: int, bucket
         or manifest.get("num_devices") != num_devices
         or manifest.get("n") != n
         or manifest.get("kind") != kind
-        or manifest.get("buckets") != [int(b) for b in buckets]
+        or manifest.get("buckets")
+        != ("auto" if buckets is None else [int(b) for b in buckets])
     ):
         log.warning("slab plan checkpoint at %s incompatible — ignoring", d)
         return None

@@ -40,7 +40,6 @@ from graphtpu.core.types import INT32_INF
 from graphtpu.ops.gather import table_gather
 from graphtpu.ops.minmode import _slab_minmode, stream_minmode
 from graphtpu.ops.scan_reduce import seg_min_scan
-from graphtpu.ops.slab import DEFAULT_BUCKETS
 from graphtpu.parallel.mesh import ROWS_AXIS
 from graphtpu.parallel.partition import put_sharded
 
@@ -66,7 +65,7 @@ class DistSlabPlan(NamedTuple):
     has_neighbors: jax.Array             # [n] bool — rows with incidence entries
 
 
-def build_dist_slab_plan(graph, mesh, buckets=DEFAULT_BUCKETS) -> DistSlabPlan:
+def build_dist_slab_plan(graph, mesh, buckets=None) -> DistSlabPlan:
     """CDLP incidence slab plan split per bucket across the mesh."""
     from graphtpu.algorithms.cdlp import build_incidence
 
@@ -75,13 +74,16 @@ def build_dist_slab_plan(graph, mesh, buckets=DEFAULT_BUCKETS) -> DistSlabPlan:
 
 
 def build_dist_slab_plan_from(
-    centers, neigh, n, mesh, buckets=DEFAULT_BUCKETS
+    centers, neigh, n, mesh, buckets=None
 ) -> DistSlabPlan:
     """Generic bucket-split slab plan over a center-sorted (centers,
     neigh) stream — shared by distributed CDLP (incidence) and the slab
     PR pull plan (in-edges)."""
+    from graphtpu.ops.slab import resolve_buckets
+
     num_devices = int(mesh.devices.size)
     deg = np.bincount(centers, minlength=n).astype(np.int64)
+    buckets = resolve_buckets(deg, buckets)
     indptr = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(deg, out=indptr[1:])
 
@@ -248,11 +250,12 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def cdlp_slab_dist(sg, itermax: int, buckets=DEFAULT_BUCKETS):
+def cdlp_slab_dist(sg, itermax: int, buckets=None):
     """Entry point: distributed slab CDLP on a ShardedGraph. Returns
     (labels [n] np.int32, iterations)."""
     plan = getattr(sg, "_dist_slab_plan", None)
-    if plan is None or getattr(sg, "_dist_slab_buckets", None) != tuple(buckets):
+    bkey = "auto" if buckets is None else tuple(buckets)
+    if plan is None or getattr(sg, "_dist_slab_buckets", None) != bkey:
         from graphtpu.parallel import checkpoint as ckpt_mod
 
         ck = getattr(sg, "ckpt", None)
@@ -266,7 +269,7 @@ def cdlp_slab_dist(sg, itermax: int, buckets=DEFAULT_BUCKETS):
                 ckpt_mod.save_plan(plan, *ck, num_devices=sg.num_devices,
                                    n=sg.n, kind="cdlp-incidence", buckets=buckets)
         sg._dist_slab_plan = plan
-        sg._dist_slab_buckets = tuple(buckets)
+        sg._dist_slab_buckets = bkey
     labels0 = jnp.arange(sg.n, dtype=jnp.int32)
     if not plan.bucket_slabs and plan.heavy is None:
         return np.arange(sg.n, dtype=np.int32), 0

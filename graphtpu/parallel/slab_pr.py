@@ -22,7 +22,6 @@ from jax.sharding import PartitionSpec as P
 
 from graphtpu.ops.gather import table_gather
 from graphtpu.ops.scan_reduce import seg_sum_scan
-from graphtpu.ops.slab import DEFAULT_BUCKETS
 from graphtpu.parallel.mesh import ROWS_AXIS
 from graphtpu.parallel.slab_cdlp import DistSlabPlan, build_dist_slab_plan_from
 
@@ -98,15 +97,15 @@ def pr_slab_dist(sg, damping: float, num_iterations: int, dtype=np.float32):
         ck = getattr(sg, "ckpt", None)
         if ck is not None:
             plan = ckpt_mod.load_plan(*ck, kind="pr-pull", mesh=sg.mesh,
-                                      n=sg.n, buckets=DEFAULT_BUCKETS)
+                                      n=sg.n, buckets=None)
         if plan is None:
             src, dst, _ = sg.graph.pull_arrays()
             plan = build_dist_slab_plan_from(
-                dst.astype(np.int64), src.astype(np.int32), sg.n, sg.mesh, DEFAULT_BUCKETS
+                dst.astype(np.int64), src.astype(np.int32), sg.n, sg.mesh, None
             )
             if ck is not None:
                 ckpt_mod.save_plan(plan, *ck, num_devices=sg.num_devices,
-                                   n=sg.n, kind="pr-pull", buckets=DEFAULT_BUCKETS)
+                                   n=sg.n, kind="pr-pull", buckets=None)
         sg._dist_pr_plan = plan
     from graphtpu.parallel.partition import put_sharded
 
