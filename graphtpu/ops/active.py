@@ -40,7 +40,6 @@ import jax.numpy as jnp
 
 from graphtpu.ops.gather import table_gather
 from graphtpu.ops.minmode import (
-    DEFAULT_BUCKETS,
     _cdlp_one_step,
     _iter0_minmode,
     build_slab_plan,

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 
 from graphtpu.core.types import INT32_INF
 from graphtpu.ops.gather import table_gather
-from graphtpu.ops.slab import DEFAULT_BUCKETS, SlabPlan, assemble, build_slab_plan  # noqa: F401
+from graphtpu.ops.slab import SlabPlan, assemble, build_slab_plan  # noqa: F401
 
 _M31 = (1 << 31) - 1
 

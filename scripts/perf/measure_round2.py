@@ -94,23 +94,49 @@ def main():
           flush=True)
     del os.environ["GRAPHTPU_LCC_HASH_FILL"]
 
-    # ---------------- CDLP regression check ----------------
+    # ---------------- CDLP + PR: auto vs static slab buckets ----------------
+    import jax.numpy as jnp
+
     from graphtpu.algorithms.cdlp import build_incidence
+    from graphtpu.algorithms.pr import _pr_slab_kernel
     from graphtpu.ops.active import cdlp_adaptive_device_run, prepare_cdlp_adaptive
+    from graphtpu.ops.spmv import build_pull_plan
 
     centers, neigh = build_incidence(g)
     deg = np.bincount(centers, minlength=g.n).astype(np.int32)
-    prep = prepare_cdlp_adaptive(g, centers, neigh, deg, cfg)
-    labels, it = cdlp_adaptive_device_run(g, centers, neigh, deg, 10, cfg, prep)
-    sync(labels)
-    t0 = time.perf_counter()
-    labels, it = cdlp_adaptive_device_run(g, centers, neigh, deg, 10, cfg, prep)
-    sync(labels)
-    dt = time.perf_counter() - t0
-    print(
-        f"cdlp 10 iters: {dt:.2f}s = {centers.shape[0]*max(int(it),1)/dt/1e6:.0f}M edges/s",
-        flush=True,
-    )
+    out_deg = jnp.asarray(g.out_degree.astype(np.int32))
+    labels_by_mode = {}
+    for mode in ("auto", "static"):
+        if mode == "static":
+            os.environ["GRAPHTPU_SLAB_BUCKETS"] = "static"
+        prep = prepare_cdlp_adaptive(g, centers, neigh, deg, cfg)
+        labels, it = cdlp_adaptive_device_run(g, centers, neigh, deg, 10, cfg, prep)
+        sync(labels)
+        t0 = time.perf_counter()
+        labels, it = cdlp_adaptive_device_run(g, centers, neigh, deg, 10, cfg, prep)
+        sync(labels)
+        dt = time.perf_counter() - t0
+        labels_by_mode[mode] = np.asarray(labels)
+        print(
+            f"cdlp 10 iters [{mode} buckets]: {dt:.2f}s = "
+            f"{centers.shape[0]*max(int(it),1)/dt/1e6:.0f}M edges/s",
+            flush=True,
+        )
+
+        plan = build_pull_plan(g, wdtype=np.float32, with_values=False)
+        pargs = (plan, out_deg, jnp.float32(0.85), g.n, 20)
+        sync(_pr_slab_kernel(*pargs))
+        t0 = time.perf_counter()
+        sync(_pr_slab_kernel(*pargs))
+        pr_s = time.perf_counter() - t0
+        print(
+            f"pr slab 20 iters [{mode} buckets]: {pr_s:.2f}s = "
+            f"{g.nnz*20/pr_s/1e6:.0f}M nnz/s",
+            flush=True,
+        )
+        os.environ.pop("GRAPHTPU_SLAB_BUCKETS", None)
+    if not np.array_equal(labels_by_mode["auto"], labels_by_mode["static"]):
+        print("cdlp MISMATCH: auto != static buckets", flush=True)
 
 
 if __name__ == "__main__":
