@@ -83,15 +83,23 @@ def main_scaling() -> None:
         t0 = time.perf_counter()
         _, it = dist.cdlp_dist(sg, itermax)
         cdlp_rate = 2 * g.nnz * max(it, 1) / (time.perf_counter() - t0)
+
+        dist.bfs_dist(sg, 0)
+        t0 = time.perf_counter()
+        dist.bfs_dist(sg, 0)
+        bfs_teps = g.nnz / (time.perf_counter() - t0)
         table.append({"devices": d, "pr_nnz_per_s": round(pr_rate, 1),
-                      "cdlp_edges_per_s": round(cdlp_rate, 1)})
+                      "cdlp_edges_per_s": round(cdlp_rate, 1),
+                      "bfs_teps": round(bfs_teps, 1)})
 
     base_pr = table[0]["pr_nnz_per_s"]
     base_cdlp = table[0]["cdlp_edges_per_s"]
+    base_bfs = table[0]["bfs_teps"]
     for row in table:
         d = row["devices"]
         row["pr_efficiency"] = round(row["pr_nnz_per_s"] / (d * base_pr), 3)
         row["cdlp_efficiency"] = round(row["cdlp_edges_per_s"] / (d * base_cdlp), 3)
+        row["bfs_efficiency"] = round(row["bfs_teps"] / (d * base_bfs), 3)
 
     top = table[-1]
     backend = jax.devices()[0].platform
