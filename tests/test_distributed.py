@@ -278,3 +278,19 @@ def test_dist_matches_single_chip_on_random_graph():
     dd, _ = dist.sssp_dist(sg, 0)
     single = run_algorithm("sssp", g, AlgorithmParams(source_vertex=0), cfg)
     np.testing.assert_allclose(dd, single.values, rtol=1e-12)
+
+
+def test_lcc_dist_probe_modes(monkeypatch):
+    """The distributed wedge LCC honors the GRAPHTPU_LCC_PROBE knob:
+    square (pairs=None through shard_map) and pairs-sorted both match the
+    pair-list default bit-for-bit."""
+    from graphtpu.ops.triangles import lcc_oriented
+    from graphtpu.parallel.wedge_lcc import lcc_oriented_dist
+    from graphtpu.utils.synth import rmat_graph
+
+    g = rmat_graph(8, 8, directed=False, seed=7)
+    ref = lcc_oriented(rmat_graph(8, 8, directed=False, seed=7))
+    sg = ShardedGraph(g, make_mesh(len(jax.devices())))
+    for mode in ("square", "pairs-sorted"):
+        monkeypatch.setenv("GRAPHTPU_LCC_PROBE", mode)
+        np.testing.assert_array_equal(lcc_oriented_dist(sg), ref)

@@ -59,3 +59,25 @@ def test_pairs_vs_elements_choose_differently():
     pr = optimal_bucket_bounds(deg, k=2, kind="pairs")
     assert lin[-1] == 101 and pr[-1] == 101
     assert lin[0] == 10 and pr[0] == 10
+
+
+def test_dp_matches_bruteforce_small():
+    """Exhaustive check: the DP finds the true minimum padded cost over
+    all ≤ k boundary subsets for small distributions."""
+    from itertools import combinations
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        deg = rng.integers(1, 12, size=30).astype(np.int64)
+        ends = sorted(set(int(d) for d in deg if d > 0))
+        for k in (1, 2, 3):
+            best = None
+            for r in range(1, min(k, len(ends)) + 1):
+                for combo in combinations(ends, r):
+                    if combo[-1] != ends[-1]:
+                        continue  # must cover the max degree
+                    best_c = _padded_elements(deg, combo)
+                    if best is None or best_c < best:
+                        best = best_c
+            got = optimal_bucket_bounds(deg, k=k, kind="elements")
+            assert _padded_elements(deg, got) == best, (deg, k, got)
