@@ -92,6 +92,24 @@ def optimal_bucket_bounds(
     return sorted(bounds)
 
 
+def bucket_policy_key(buckets) -> list:
+    """Stable, JSON-serializable identity of a bucket choice for plan
+    memo/checkpoint keys: explicit bounds verbatim, else the auto policy
+    TOGETHER WITH the env knobs that steer it — so flipping
+    GRAPHTPU_SLAB_BUCKETS/GRAPHTPU_SLAB_BUCKET_K between runs (the A/B
+    these knobs exist for) invalidates cached plans instead of silently
+    reusing the other arm's plan."""
+    import os as _os
+
+    if buckets is not None:
+        return ["explicit", [int(b) for b in buckets]]
+    return [
+        "auto",
+        _os.environ.get("GRAPHTPU_SLAB_BUCKETS", ""),
+        int(_os.environ.get("GRAPHTPU_SLAB_BUCKET_K", "10")),
+    ]
+
+
 def resolve_buckets(deg: np.ndarray, buckets=None, lo: int = 0):
     """Bucket bounds for a slab plan: explicit `buckets` are honored
     verbatim; None means per-graph DP-optimal bounds (same heavy-tail

@@ -24,6 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from graphtpu.ops.slab import bucket_policy_key as _bucket_policy_key
 from graphtpu.parallel.partition import ShardedCOO, ShardedGraph
 from graphtpu.utils.logging import get_logger
 
@@ -187,7 +188,7 @@ def save_plan(plan, intermediate_dir, graph_name: str, num_devices: int,
         "num_devices": num_devices,
         "n": n,
         "kind": kind,
-        "buckets": "auto" if buckets is None else [int(b) for b in buckets],
+        "buckets": _bucket_policy_key(buckets),
         "num_buckets": len(plan.bucket_slabs),
         "heavy": plan.heavy is not None,
     }
@@ -216,8 +217,7 @@ def load_plan(intermediate_dir, graph_name: str, kind: str, mesh, n: int, bucket
         or manifest.get("num_devices") != num_devices
         or manifest.get("n") != n
         or manifest.get("kind") != kind
-        or manifest.get("buckets")
-        != ("auto" if buckets is None else [int(b) for b in buckets])
+        or manifest.get("buckets") != _bucket_policy_key(buckets)
     ):
         log.warning("slab plan checkpoint at %s incompatible — ignoring", d)
         return None

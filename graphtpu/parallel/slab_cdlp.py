@@ -254,7 +254,9 @@ def cdlp_slab_dist(sg, itermax: int, buckets=None):
     """Entry point: distributed slab CDLP on a ShardedGraph. Returns
     (labels [n] np.int32, iterations)."""
     plan = getattr(sg, "_dist_slab_plan", None)
-    bkey = "auto" if buckets is None else tuple(buckets)
+    from graphtpu.ops.slab import bucket_policy_key
+
+    bkey = bucket_policy_key(buckets)
     if plan is None or getattr(sg, "_dist_slab_buckets", None) != bkey:
         from graphtpu.parallel import checkpoint as ckpt_mod
 

@@ -52,13 +52,16 @@ def test_resolve_buckets_semantics(monkeypatch):
 
 
 def test_pairs_vs_elements_choose_differently():
-    """A distribution where quadratic cost favors splitting the wide
-    bucket that linear cost leaves merged."""
-    deg = np.concatenate([np.full(1000, 10), np.full(5, 100), np.full(1, 101)])
+    """A distribution where the two cost kinds pick DIFFERENT cuts:
+    degrees {8×10 rows, 64×400 rows, 65×1 row}, k=2. Linear cost keeps
+    the light rows exact ([8, 65]: 8·10+65·401 < 64·410+65); quadratic
+    cost protects the wide rows instead ([64, 65]: 28·10+2080·401 >
+    2016·410+2080)."""
+    deg = np.concatenate([np.full(10, 8), np.full(400, 64), np.full(1, 65)])
     lin = optimal_bucket_bounds(deg, k=2, kind="elements")
     pr = optimal_bucket_bounds(deg, k=2, kind="pairs")
-    assert lin[-1] == 101 and pr[-1] == 101
-    assert lin[0] == 10 and pr[0] == 10
+    assert lin == [8, 65]
+    assert pr == [64, 65]
 
 
 def test_dp_matches_bruteforce_small():
