@@ -81,6 +81,9 @@ def load(intermediate_dir: str | os.PathLike, graph_name: str) -> Graph:
             _presorted=True,
             _dedup=False,
         )
+    # keys derived artifacts (e.g. the LCC oriented-edge cache) — without
+    # it those caches silently no-op for cache-loaded graphs
+    g.name = graph_name
     log.info("loaded cache %s (%s)", path, g)
     return g
 

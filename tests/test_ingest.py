@@ -151,3 +151,15 @@ def test_cache_roundtrip_and_skip(tmp_path):
     np.testing.assert_array_equal(g2.dst, g.dst)
     np.testing.assert_array_equal(g2.mapping, g.mapping)
     np.testing.assert_allclose(g2.w, g.w)
+
+
+def test_cache_load_sets_graph_name(tmp_path):
+    """graph.name keys derived artifacts (the LCC oriented-edge cache);
+    cache.load must restore it."""
+    from graphtpu.ingest import cache as cache_mod
+    from graphtpu.utils.synth import rmat_graph
+
+    g = rmat_graph(5, 4, directed=False, seed=0)
+    cache_mod.save(g, tmp_path, "namecheck")
+    g2 = cache_mod.load(tmp_path, "namecheck")
+    assert g2.name == "namecheck"
