@@ -236,10 +236,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     # honor JAX_PLATFORMS even where a sitecustomize pinned the platform
-    # programmatically (the axon TPU plugin does; env alone is ignored)
+    # programmatically (the axon TPU plugin does; env alone is ignored).
+    # GRAPHTPU_PLATFORM wins: the axon kernel env exports
+    # JAX_PLATFORMS=axon AMBIENTLY, so re-applying it here would undo
+    # the documented GRAPHTPU_PLATFORM=cpu override (and hang forever
+    # when the TPU relay is down).
     import os
 
-    if os.environ.get("JAX_PLATFORMS"):
+    if os.environ.get("JAX_PLATFORMS") and not os.environ.get("GRAPHTPU_PLATFORM"):
         import jax
 
         try:
