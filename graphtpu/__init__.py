@@ -32,6 +32,18 @@ _plat = _os.environ.get("GRAPHTPU_PLATFORM")
 if _plat:
     _jax.config.update("jax_platforms", _plat)
 
+# Persistent XLA compilation cache (kernel compiles through the TPU
+# relay take 2-5 min EACH; the degree-bucketed plans compile one kernel
+# per bucket shape). Opt-in: repeated benchmark/measurement processes
+# re-load executables instead of recompiling.
+_cache = _os.environ.get("GRAPHTPU_COMPILE_CACHE")
+if _cache:
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache flags unavailable on this jax — run without
+        pass
+
 __version__ = "0.1.0"
 
 from graphtpu.core.graph import Graph  # noqa: E402,F401

@@ -15,6 +15,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
+# persist compiled executables across measurement processes (relay
+# compiles cost minutes per bucket shape; must be set pre-import)
+os.environ.setdefault("GRAPHTPU_COMPILE_CACHE", "./intermediate/xla-cache")
+
 import numpy as np
 
 import graphtpu  # noqa: F401
