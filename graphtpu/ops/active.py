@@ -204,8 +204,17 @@ def _cdlp_adaptive_kernel(
 
         return jax.lax.while_loop(cond, body, state)
 
-    if first_iter_min and itermax >= 1:
-        labels_init = _iter0_minmode(plan, labels0)
+    if itermax >= 1:
+        # iteration 0 is always gather-free (labels0 is the identity):
+        # min for duplicate-free incidence, full min-mode on the stored
+        # ids otherwise (graphtpu/ops/minmode.py _iter0_mode)
+        from graphtpu.ops.minmode import _iter0_mode
+
+        labels_init = (
+            _iter0_minmode(plan, labels0)
+            if first_iter_min
+            else _iter0_mode(plan, labels0)
+        )
         mask0 = labels_init != labels0
         state = (
             labels_init, mask0, jnp.full((k_cap,), n, jnp.int32),
@@ -320,7 +329,10 @@ def cdlp_adaptive_run(graph, centers, neigh, deg, itermax, cfg=None):
         if timer:
             timer.start()
         if act_rows is None:
-            labels, _ = _cdlp_one_step(plan, labels, first_iter_min and i == 0)
+            labels, _ = _cdlp_one_step(
+                plan, labels,
+                ("min" if first_iter_min else "mode") if i == 0 else False,
+            )
             cur = np.array(labels)  # writable copy (asarray views are read-only)
             changed_ids = np.nonzero(cur != prev)[0]
             prev = cur

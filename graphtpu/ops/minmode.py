@@ -74,20 +74,22 @@ def _bits(v: int) -> int:
     return max(int(v).bit_length(), 1)
 
 
-def stream_minmode(labels, centers, neigh, indptr, n):
+def stream_minmode(labels, centers, neigh, indptr, n, identity=False):
     """Min-mode per segment of a center-sorted incidence stream via pair
     sort + packed prefix scans (segment boundaries are static).
 
     `centers` are ascending local segment ids [m], `neigh` global vertex
     ids [m], `indptr` [H+1] the static segment starts. Returns the winner
     label per segment [H]; empty segments yield junk (callers mask them).
+    `identity=True` skips the label gather (labels[neigh] == neigh when
+    the labeling is the identity — iteration 0).
 
     Fast path: when (center, count, ~label) fits one int64 key, a single
     forward cummax selects the (max count, min label) winner per segment
     directly; otherwise fall back to the fwd+bwd max-count pass + winner
     pass. Shared by the heavy-tail rows of the slab plan and the
     convergence-adaptive active-set steps (graphtpu/ops/active.py)."""
-    lab = table_gather(labels, neigh)
+    lab = neigh if identity else table_gather(labels, neigh)
     c_s, l_s = jax.lax.sort((centers, lab), num_keys=2)  # c_s == centers
     m = l_s.shape[0]
     idx = jnp.arange(m, dtype=jnp.int32)
@@ -166,6 +168,27 @@ def _iter0_minmode(plan: SlabPlan, labels0: jax.Array) -> jax.Array:
     return assemble(plan, parts, heavy, rest)
 
 
+def _iter0_mode(plan: SlabPlan, labels0: jax.Array) -> jax.Array:
+    """Gather-free iteration 0 for duplicate-BEARING incidence (directed
+    graphs: bidirectional edges appear twice, LAGraph_cdlp.c:47-50). The
+    identity labeling makes labels[neigh] == neigh, so the full min-mode
+    runs directly on the stored slab ids — skipping the label gather
+    that dominates a full step. The directed generalization of the
+    fork's first-iteration optimization (cdlp_kernel.cu:76-117)."""
+    parts = [
+        _rowwise_minmode(jnp.where(b.slab >= 0, b.slab, INT32_INF))
+        for b in plan.slabs
+    ]
+    heavy = None
+    if plan.heavy_rows is not None:
+        heavy = stream_minmode(
+            None, plan.heavy_centers, plan.heavy_neigh, plan.heavy_indptr,
+            labels0.shape[0], identity=True,
+        )
+    rest = labels0[plan.rest_rows] if plan.rest_rows is not None else None
+    return assemble(plan, parts, heavy, rest)
+
+
 def cdlp_step(labels: jax.Array, plan: SlabPlan) -> jax.Array:
     """One synchronous CDLP iteration: new labels for every vertex."""
     parts = [_slab_minmode(labels, b.slab) for b in plan.slabs]
@@ -180,14 +203,20 @@ def cdlp_step(labels: jax.Array, plan: SlabPlan) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("itermax", "first_iter_min"))
 def _cdlp_slab_kernel(plan: SlabPlan, labels0, itermax, first_iter_min=False):
-    """`first_iter_min` runs the gather-free identity-label iteration
-    before entering the loop (kept outside the loop body: a lax.cond in
-    the body would make XLA compile-and-schedule both branches every
-    iteration)."""
+    """Iteration 0 always runs gather-free (labels0 MUST be the identity
+    labeling, which CDLP semantics fix): min for duplicate-free
+    incidence (`first_iter_min`, undirected simple graphs), full
+    min-mode on the stored ids otherwise. Kept outside the loop body: a
+    lax.cond in the body would make XLA compile-and-schedule both
+    branches every iteration."""
     start = jnp.int32(0)
     labels_init = labels0
-    if first_iter_min and itermax >= 1:
-        labels_init = _iter0_minmode(plan, labels0)
+    if itermax >= 1:
+        labels_init = (
+            _iter0_minmode(plan, labels0)
+            if first_iter_min
+            else _iter0_mode(plan, labels0)
+        )
         start = jnp.int32(1)
 
     def cond(state):
@@ -207,7 +236,14 @@ def _cdlp_slab_kernel(plan: SlabPlan, labels0, itermax, first_iter_min=False):
 
 @partial(jax.jit, static_argnames=("first",))
 def _cdlp_one_step(plan: SlabPlan, labels, first=False):
-    new = _iter0_minmode(plan, labels) if first else cdlp_step(labels, plan)
+    """`first`: "min" (duplicate-free iter0), "mode" (gather-free full
+    min-mode iter0 — labels must be the identity), or falsy (full step)."""
+    if first == "min":
+        new = _iter0_minmode(plan, labels)
+    elif first == "mode":
+        new = _iter0_mode(plan, labels)
+    else:
+        new = cdlp_step(labels, plan)
     return new, jnp.any(new != labels)
 
 
@@ -231,7 +267,10 @@ def cdlp_slab_run(graph, centers, neigh, deg, itermax, cfg):
         it = 0
         for i in range(int(itermax)):
             timer.start()
-            labels, changed = _cdlp_one_step(plan, labels, first_iter_min and i == 0)
+            labels, changed = _cdlp_one_step(
+                plan, labels,
+                ("min" if first_iter_min else "mode") if i == 0 else False,
+            )
             changed = bool(changed)  # D2H sync closes the timing window
             timer.stop(f"cdlp iteration {i}", labels)
             it = i + 1

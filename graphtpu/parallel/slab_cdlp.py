@@ -175,25 +175,35 @@ def build_dist_slab_plan_from(
     )
 
 
-def _make_step(mesh, num_buckets: int, with_heavy: bool, first: bool):
+def _make_step(mesh, num_buckets: int, with_heavy: bool, first):
     """shard_map'd per-device step: bucket minmodes + heavy stream, one
-    tiled all_gather of the local concat."""
+    tiled all_gather of the local concat. `first`: "min" (duplicate-free
+    gather-free iter0), "mode" (gather-free full min-mode iter0 on the
+    stored ids — labels must be the identity), or falsy (full step)."""
 
     def block(slabs, heavy, labels):
         n = labels.shape[0]
         parts = []
         for s in slabs:
             s0 = s[0]
-            if first:
+            if first == "min":
                 # duplicate-free incidence: mode == min neighbor id, no gather
                 parts.append(jnp.min(jnp.where(s0 >= 0, s0, INT32_INF), axis=0))
+            elif first == "mode":
+                from graphtpu.ops.minmode import _rowwise_minmode
+
+                parts.append(
+                    _rowwise_minmode(jnp.where(s0 >= 0, s0, INT32_INF))
+                )
             else:
                 parts.append(_slab_minmode(labels, s0))
         if heavy:
             c, nb, ip = heavy[0][0], heavy[1][0], heavy[2][0]
             h_dev = ip.shape[0] - 2
-            if first:
+            if first == "min":
                 hout = seg_min_scan(nb, c, ip, jnp.int32(INT32_INF))[:h_dev]
+            elif first == "mode":
+                hout = stream_minmode(None, c, nb, ip, n, identity=True)[:h_dev]
             else:
                 hout = stream_minmode(labels, c, nb, ip, n)[:h_dev]
             parts.append(hout)
@@ -221,8 +231,11 @@ def cdlp_slab_dist_kernel(plan: DistSlabPlan, labels0, mesh, itermax, first_iter
 
     start = jnp.int32(0)
     labels_init = labels0
-    if first_iter_min and itermax >= 1:
-        step0 = _make_step(mesh, len(plan.bucket_slabs), bool(heavy), first=True)
+    if itermax >= 1:
+        step0 = _make_step(
+            mesh, len(plan.bucket_slabs), bool(heavy),
+            first="min" if first_iter_min else "mode",
+        )
         labels_init = assemble(step0(plan.bucket_slabs, heavy, labels0), labels0)
         start = jnp.int32(1)
 
