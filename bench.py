@@ -264,8 +264,15 @@ def main() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         # a single real chip can't host a mesh — fall back to the
-        # 8-virtual-device CPU mesh unless one was already forced
-        if "xla_force_host_platform_device_count" not in os.environ.get(
+        # 8-virtual-device CPU mesh unless one was already forced, or a
+        # real multi-chip backend is named (GRAPHTPU_SCALING_PLATFORM=
+        # tpu|axon measures true scaling the moment a slice exists)
+        scaling_plat = os.environ.get("GRAPHTPU_SCALING_PLATFORM")
+        if scaling_plat:
+            import jax
+
+            jax.config.update("jax_platforms", scaling_plat)
+        elif "xla_force_host_platform_device_count" not in os.environ.get(
             "XLA_FLAGS", ""
         ):
             os.environ["XLA_FLAGS"] = (

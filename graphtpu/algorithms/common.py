@@ -32,12 +32,6 @@ class AlgorithmResult:
     values: np.ndarray            # dense-id order, one value per vertex
     iterations: Optional[int] = None
 
-    def serialize_lines(self, graph: Graph):
-        fmt = SERIALIZERS[self.algorithm]
-        mapping = graph.mapping
-        vals = self.values
-        return (f"{mapping[i]} {fmt(vals[i])}" for i in range(graph.n))
-
     def _columns(self, graph: Graph):
         """(ids, values) with the per-algorithm output coercions applied
         array-at-a-time (int64-max unreachable for BFS, bfs.cpp:61)."""

@@ -137,12 +137,12 @@ def lcc(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> Algorithm
         # scalable path (~10x less intrinsic work than the sweep and one
         # gather per probe instead of a log(deg) binary search); see
         # graphtpu/ops/triangles.py
-        from graphtpu.ops.triangles import lcc_oriented
+        from graphtpu.ops.triangles import WedgeCapacityError, lcc_oriented
 
         try:
             cache_dir = getattr(cfg, "intermediate_dir", None)
             return AlgorithmResult("lcc", lcc_oriented(graph, cache_dir=cache_dir))
-        except ValueError:
+        except WedgeCapacityError:
             if impl == "oriented":
                 raise
             # oriented out-degree exceeds the largest wedge bucket (very

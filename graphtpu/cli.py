@@ -131,6 +131,8 @@ def cmd_benchmark(args) -> int:
 
 
 def cmd_download(args) -> int:
+    import tarfile
+
     from graphtpu.ingest.download import (
         DEFAULT_BASE_URL,
         SMALL_DATASETS,
@@ -160,7 +162,9 @@ def cmd_download(args) -> int:
         )
         print(f"ready: {p}")
         return 0
-    except OSError as e:
+    except (OSError, ValueError, EOFError, tarfile.TarError) as e:
+        # OSError: network/fs; TarError/EOFError: corrupt or truncated
+        # archive; ValueError: path-traversal member rejected
         print(f"download failed: {e}", file=sys.stderr)
         return 1
 

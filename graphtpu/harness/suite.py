@@ -37,9 +37,9 @@ ALGO_SUFFIX = {"bfs": "BFS", "pr": "PR", "wcc": "WCC", "cdlp": "CDLP", "lcc": "L
 def _is_primary() -> bool:
     """True on the process that writes outputs/reports (rank 0; always
     True single-host)."""
-    import jax
+    from graphtpu.parallel.multihost import is_primary
 
-    return jax.process_index() == 0
+    return is_primary()
 
 
 @dataclasses.dataclass

@@ -92,9 +92,18 @@ def download_dataset(
     graphs_dir = Path(graphs_dir)
     graphs_dir.mkdir(parents=True, exist_ok=True)
     props = graphs_dir / f"{name}.properties"
-    if props.exists() and not force:
-        log.info("dataset %s already present (%s) — skipping download", name, props)
-        return props
+    nested = graphs_dir / name / f"{name}.properties"
+    if not force:
+        # archives unpack flat OR under a <name>/ subdirectory — honor
+        # skip-if-exists for both layouts (re-streaming a multi-GB
+        # archive on every call would break the load-graph.sh contract)
+        for existing in (props, nested):
+            if existing.exists():
+                log.info(
+                    "dataset %s already present (%s) — skipping download",
+                    name, existing,
+                )
+                return existing
     src = url or dataset_url(name, base_url)
     log.info("downloading %s from %s", name, src)
     with urllib.request.urlopen(src) as reader:
@@ -105,7 +114,6 @@ def download_dataset(
     # archives may unpack either flat or under a <name>/ subdirectory;
     # normalize the flat-descriptor expectation by searching one level deep
     if not props.exists():
-        nested = graphs_dir / name / f"{name}.properties"
         if nested.exists():
             props = nested
         else:

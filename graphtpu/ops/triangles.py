@@ -152,6 +152,13 @@ def _head_sort_kernel(heads, tpos):
     return jax.lax.sort((heads, tpos), num_keys=1)
 
 
+class WedgeCapacityError(ValueError):
+    """Oriented out-degree exceeds the largest wedge bucket — the only
+    condition under which lcc_impl=auto may fall back to the membership
+    sweep (a bare ValueError catch would downgrade real bugs anywhere in
+    the pipeline to a silent sweep fallback)."""
+
+
 _WEDGE_CACHE_VERSION = 2
 
 
@@ -298,7 +305,7 @@ def prepare_wedge_plan(graph, cache_dir=None) -> WedgePlan:
     prev = 1  # rows with d+ < 2 generate no wedges
     max_dp = int(d_plus.max()) if n else 0
     if max_dp > _WEDGE_BUCKETS[-1]:
-        raise ValueError(
+        raise WedgeCapacityError(
             f"oriented out-degree {max_dp} exceeds the largest wedge bucket "
             f"{_WEDGE_BUCKETS[-1]}"
         )

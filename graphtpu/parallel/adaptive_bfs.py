@@ -41,11 +41,10 @@ from graphtpu.parallel.partition import put_sharded
 
 BFS_TRUNC = 8  # in-neighbors probed per row by the truncated bottom-up
 
-_EDGE_ALIGN = 1024
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from graphtpu.parallel.partition import (  # noqa: E402
+    EDGE_ALIGN as _EDGE_ALIGN,
+    _round_up,
+)
 
 
 def _local_csr(indptr: np.ndarray, streams, n_pad: int, r: int, d: int):

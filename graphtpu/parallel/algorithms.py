@@ -327,13 +327,14 @@ def lcc_dist(sg: ShardedGraph, cfg=None):
     bucket capacity is exceeded or `lcc_impl = "sweep"` is set."""
     impl = getattr(cfg, "lcc_impl", "") or "auto"
     if impl != "sweep":
+        from graphtpu.ops.triangles import WedgeCapacityError
         from graphtpu.parallel.wedge_lcc import lcc_oriented_dist
 
         try:
             return lcc_oriented_dist(
                 sg, cache_dir=getattr(cfg, "intermediate_dir", None)
             )
-        except ValueError:
+        except WedgeCapacityError:
             if impl == "oriented":
                 raise
             from graphtpu.utils.logging import get_logger

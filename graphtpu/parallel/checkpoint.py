@@ -8,9 +8,11 @@ a manifest; shards are loaded host-side and placed onto their devices
 (per-shard files keep multi-host loading local: each process reads only
 the shards of its addressable devices).
 
-Storage is minimal: src + dst_local only, plus per-shard edge counts in
-the manifest (the `valid` mask is derivable) and weights only for
-weighted graphs (unweighted edges are all 1.0). Compression matters on
+Storage is minimal: src + dst_local only, plus a per-shard valid-edge
+count inside each shard npz (the `valid` mask is derivable; counts
+cannot live in the manifest because no single process knows every
+device's count on a multi-host mesh) and weights only for weighted
+graphs (unweighted edges are all 1.0). Compression matters on
 this filesystem (~10 MB/s): sorted int32 streams deflate well.
 """
 
@@ -31,7 +33,7 @@ from graphtpu.utils.logging import get_logger
 log = get_logger("ckpt")
 
 MANIFEST = "manifest.json"
-CKPT_VERSION = 2
+CKPT_VERSION = 3
 
 
 def _dir(intermediate_dir, graph_name: str, num_devices: int) -> Path:
@@ -59,33 +61,41 @@ def save_pull(sg: ShardedGraph, intermediate_dir, graph_name: str) -> Path:
     dst = _shards_by_device(coo.dst_local)
     w = _shards_by_device(coo.w) if weighted else {}
     valid = _shards_by_device(coo.valid)
-    counts = {}
+    # each process writes ONLY its addressable shards; the valid-edge
+    # count rides inside each shard npz (self-describing) because no one
+    # process knows every device's count on a multi-host mesh
     for dev in sorted(src):
-        counts[dev] = int(valid[dev].sum())
-        arrays = {"src": src[dev], "dst_local": dst[dev]}
+        arrays = {
+            "src": src[dev],
+            "dst_local": dst[dev],
+            "count": np.int64(valid[dev].sum()),
+        }
         if weighted:
             arrays["w"] = w[dev]
         tmp = d / f"shard-{dev}.tmp.npz"
         np.savez_compressed(tmp, **arrays)
         tmp.replace(d / f"shard-{dev}.npz")
-    manifest = {
-        "version": CKPT_VERSION,
-        "num_devices": sg.num_devices,
-        "n": sg.n,
-        "n_pad": sg.n_pad,
-        "rows_per_dev": sg.rows_per_dev,
-        "wdtype": sg.wdtype.name,
-        "weighted": weighted,
-        "edges_per_dev": int(coo.src.shape[1]),
-        "counts": [counts[dev] for dev in sorted(counts)],
-    }
-    (d / MANIFEST).write_text(json.dumps(manifest, indent=2))
+    if _is_primary():
+        # global metadata only — replicated knowledge, no per-shard data
+        manifest = {
+            "version": CKPT_VERSION,
+            "num_devices": sg.num_devices,
+            "n": sg.n,
+            "n_pad": sg.n_pad,
+            "rows_per_dev": sg.rows_per_dev,
+            "wdtype": sg.wdtype.name,
+            "weighted": weighted,
+            "edges_per_dev": int(coo.src.shape[1]),
+        }
+        (d / MANIFEST).write_text(json.dumps(manifest, indent=2))
     log.info("sharded checkpoint written: %s (%d shards)", d, sg.num_devices)
     return d
 
 
 def _is_primary() -> bool:
-    return jax.process_index() == 0
+    from graphtpu.parallel.multihost import is_primary
+
+    return is_primary()
 
 
 def load_pull(
@@ -109,19 +119,19 @@ def load_pull(
         log.warning("sharded checkpoint at %s incompatible — ignoring", d)
         return None
     weighted = manifest["weighted"]
-    counts = manifest["counts"]
     m_pad = manifest["edges_per_dev"]
     cols = {"src": [], "dst_local": [], "w": [], "valid": []}
     for dev in range(sg.num_devices):
         with np.load(d / f"shard-{dev}.npz") as z:
             cols["src"].append(z["src"])
             cols["dst_local"].append(z["dst_local"])
+            count = int(z["count"])
             if weighted:
                 cols["w"].append(z["w"])
             else:
                 cols["w"].append(np.ones(m_pad, dtype=sg.wdtype))
         valid = np.zeros(m_pad, dtype=bool)
-        valid[: counts[dev]] = True
+        valid[:count] = True
         cols["valid"].append(valid)
     from graphtpu.parallel.partition import put_sharded
 
@@ -156,18 +166,20 @@ def plan_exists(intermediate_dir, graph_name: str, num_devices: int, kind: str) 
 
 def save_plan(plan, intermediate_dir, graph_name: str, num_devices: int,
               n: int, kind: str, buckets) -> Optional[Path]:
-    """Persist a DistSlabPlan. Only the primary process writes (the plan
-    build is deterministic and replicated, so other processes hold the
-    same content)."""
-    if not _is_primary():
-        return None
+    """Persist a DistSlabPlan. Each process writes the shards of ITS
+    addressable devices (a sharded array's remote shards cannot be read
+    cross-process); the primary also writes the replicated arrays and
+    the manifest."""
     d = _plan_dir(intermediate_dir, graph_name, num_devices, kind)
     d.mkdir(parents=True, exist_ok=True)
     bucket_shards = [_shards_by_device(s) for s in plan.bucket_slabs]
     heavy_shards = (
         [_shards_by_device(h) for h in plan.heavy] if plan.heavy is not None else None
     )
-    for dev in range(num_devices):
+    local_devs = sorted(bucket_shards[0]) if bucket_shards else (
+        sorted(heavy_shards[0]) if heavy_shards else []
+    )
+    for dev in local_devs:
         arrays = {f"bucket{i}": bs[dev] for i, bs in enumerate(bucket_shards)}
         if heavy_shards is not None:
             arrays["heavy_c"], arrays["heavy_nb"], arrays["heavy_ip"] = (
@@ -176,6 +188,8 @@ def save_plan(plan, intermediate_dir, graph_name: str, num_devices: int,
         tmp = d / f"shard-{dev}.tmp.npz"
         np.savez_compressed(tmp, **arrays)
         tmp.replace(d / f"shard-{dev}.npz")
+    if not _is_primary():
+        return d
     tmp = d / "replicated.tmp.npz"
     np.savez_compressed(
         tmp,

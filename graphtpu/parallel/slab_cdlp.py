@@ -43,11 +43,10 @@ from graphtpu.ops.scan_reduce import seg_min_scan
 from graphtpu.parallel.mesh import ROWS_AXIS
 from graphtpu.parallel.partition import put_sharded
 
-_EDGE_ALIGN = 1024
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from graphtpu.parallel.partition import (  # noqa: E402
+    EDGE_ALIGN as _EDGE_ALIGN,
+    _round_up,
+)
 
 
 def _col_align(r_dev: int) -> int:

@@ -41,8 +41,7 @@ from graphtpu.parallel.partition import put_sharded
 _MAX_DISPATCH_PAIRS = 1 << 30
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from graphtpu.parallel.partition import _round_up  # noqa: E402
 
 
 @partial(

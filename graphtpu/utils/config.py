@@ -203,6 +203,10 @@ class PlatformConfig:
             v = getattr(self, attr)
             if v is None or v == getattr(defaults, attr):
                 continue
+            if isinstance(v, (tuple, list)):
+                # inverse of the comma-list parser — a tuple repr like
+                # "(4, 8)" would crash the child's int() parse
+                v = ",".join(str(int(x)) for x in v)
             lines.append(f"{key} = {v}")
         Path(path).write_text("\n".join(lines) + "\n")
 

@@ -67,6 +67,7 @@ def test_platform_config_properties_roundtrip(tmp_path):
         num_devices=4,
         fault_injection="hang:pr",
         intermediate_dir=str(tmp_path / "im"),
+        slab_buckets=(4, 8, 16),  # tuple repr once crashed the child parse
     )
     p = tmp_path / "platform.properties"
     cfg.to_properties(p)
@@ -76,3 +77,4 @@ def test_platform_config_properties_roundtrip(tmp_path):
     assert back.num_devices == 4
     assert back.fault_injection == "hang:pr"
     assert back.intermediate_dir == str(tmp_path / "im")
+    assert back.slab_buckets == (4, 8, 16)
