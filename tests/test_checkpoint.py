@@ -88,3 +88,28 @@ def test_dispatch_uses_checkpoint_on_repeat_run(tmp_path, monkeypatch):
     np.testing.assert_allclose(r2.values, r1.values, rtol=1e-6)
     c2 = run_algorithm("cdlp", g2, spec.params["cdlp"], cfg)
     np.testing.assert_array_equal(c2.values, c1.values)
+
+
+def test_plan_checkpoint_invalidated_by_bucket_policy(tmp_path, monkeypatch):
+    """Flipping the bucket env knobs must reject (and rebuild) a saved
+    plan instead of silently reusing the other A/B arm's plan."""
+    import jax
+
+    from graphtpu.parallel import checkpoint as ckpt
+    from graphtpu.parallel import ShardedGraph, make_mesh
+    from graphtpu.parallel.slab_pr import pr_slab_dist
+    from graphtpu.utils.synth import uniform_graph
+
+    g = uniform_graph(200, 1600, directed=True, seed=4)
+    g.name = "policykey"
+    sg = ShardedGraph(g, make_mesh(len(jax.devices())))
+    sg.ckpt = (str(tmp_path), "policykey")
+    pr_slab_dist(sg, 0.85, 2)  # builds + saves the auto-policy plan
+    assert ckpt.plan_exists(tmp_path, "policykey", sg.num_devices, "pr-pull")
+
+    # same policy -> loadable; different bucket budget -> rejected
+    assert ckpt.load_plan(tmp_path, "policykey", "pr-pull", mesh=sg.mesh,
+                          n=sg.n, buckets=None) is not None
+    monkeypatch.setenv("GRAPHTPU_SLAB_BUCKET_K", "3")
+    assert ckpt.load_plan(tmp_path, "policykey", "pr-pull", mesh=sg.mesh,
+                          n=sg.n, buckets=None) is None
