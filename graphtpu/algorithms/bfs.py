@@ -348,7 +348,9 @@ def bfs_hybrid_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig] =
     n, m = graph.n, graph.nnz
     indptr_h = graph.indptr          # push CSR (out-edge) row pointers
     dst_h = graph.dst
-    threshold = getattr(cfg, "bfs_active_threshold", None) or 0.05
+    threshold = getattr(cfg, "bfs_active_threshold", None)
+    if threshold is None:  # explicit 0 forces the dense path every round
+        threshold = 0.05
     tau = threshold * max(m, 1)
 
     levels = np.full(n, INT32_INF, dtype=np.int32)

@@ -212,7 +212,9 @@ def sssp_hybrid_run(graph: Graph, src_dense: int, cfg=None, dtype=np.float32):
     indptr_h = graph.indptr
     dst_h = graph.dst
     w_h = graph.w.astype(dtype)
-    threshold = getattr(cfg, "sssp_active_threshold", None) or 0.05
+    threshold = getattr(cfg, "sssp_active_threshold", None)
+    if threshold is None:  # explicit 0 forces the dense path every round
+        threshold = 0.05
     tau = threshold * max(m, 1)
 
     dist = np.full(n, np.inf, dtype=dtype)

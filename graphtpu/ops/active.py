@@ -311,7 +311,9 @@ def cdlp_adaptive_run(graph, centers, neigh, deg, itermax, cfg=None):
 
     buckets = tuple(cfg.slab_buckets) if cfg and cfg.slab_buckets else None
     plan = build_slab_plan(centers, neigh, deg, n, buckets)
-    threshold = getattr(cfg, "cdlp_active_threshold", None) or DEFAULT_ACTIVE_THRESHOLD
+    threshold = getattr(cfg, "cdlp_active_threshold", None)
+    if threshold is None:  # explicit 0 disables active-set stepping
+        threshold = DEFAULT_ACTIVE_THRESHOLD
     thresh_edges = threshold * max(m_total, 1)
     first_iter_min = not graph.directed
 

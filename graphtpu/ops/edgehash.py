@@ -1,9 +1,9 @@
-"""Static edge-membership hash table with vectorized 16-slot row probes.
+"""Static edge-membership hash table with vectorized 64-slot row probes.
 
 The CUDA fork answered "is (x, y) an edge?" with per-row hash tables
 probed one thread at a time (cdlp_kernel.cu:419-447 open addressing,
 murmur-style mix at :400-412). The TPU reformulation: a host-built
-global table whose collision domain is a 16-slot ROW fetched in ONE row
+global table whose collision domain is a 64-slot ROW fetched in ONE row
 gather, then compared across lanes — no probe sequence on device at all.
 
 Everything on the device path is int32 (int64 gathers and multiplies
@@ -22,11 +22,12 @@ lane is always >= 0, so -1 can't match. The row index comes from a
 device int32 arithmetic: the masked result bits lie below the
 sign-extension fill).
 
-Overflow policy: at the default fill (mean 16 keys per 64-slot row) the
-probability a row receives > 64 keys is ~1e-12 — essentially never, but
-any keys that don't fit are simply LEFT OUT of the table and returned
-to the caller, which handles them exactly on the host
-(graphtpu/ops/triangles.py patches their triangles after the sweep).
+Overflow policy: at the default fill (0.25 = mean 16 keys per 64-slot
+row) the probability a row receives > 64 keys is ~3e-20 — essentially
+never (at fill 0.5, mean 32, it is ~2e-7 per row); any keys that don't
+fit are simply LEFT OUT of the table and returned to the caller, which
+handles them exactly on the host (graphtpu/ops/triangles.py patches
+their triangles after the sweep).
 """
 
 from __future__ import annotations
@@ -71,10 +72,10 @@ def build_edge_hash(
     """Build a membership table for int64 `keys` (non-negative, unique,
     < 2^(30 + 32 - PAYLOAD_BITS)) with payload ints < 2^PAYLOAD_BITS.
 
-    `fill` is the target mean slot occupancy (0.25 → mean 4 keys per
-    16-slot row). Returns (EdgeHash, spilled) where `spilled` marks keys
-    that did NOT fit (P ~ 1e-6 per key at default fill) — the caller
-    must handle those out of band."""
+    `fill` is the target mean slot occupancy (0.25 → mean 16 keys per
+    64-slot row). Returns (EdgeHash, spilled) where `spilled` marks keys
+    that did NOT fit (row-overflow P ~3e-20 at the default fill, ~2e-7
+    at fill=0.5) — the caller must handle those out of band."""
     keys = np.asarray(keys, dtype=np.int64)
     payload = np.asarray(payload, dtype=np.int64)
     lo_i32, odd_i32, lo_u32, hi_u32 = _split(keys, payload)

@@ -59,7 +59,6 @@ def seg_sum_scan(
     pad = (-m) % lanes
     v = jnp.concatenate([values, jnp.zeros((pad,), values.dtype)]) if pad else values
     w = v.reshape(-1, lanes)
-    zrow = jnp.zeros((w.shape[0], 1), w.dtype)
     shift = 1
     while shift < lanes:
         shifted = jnp.concatenate(
@@ -67,7 +66,6 @@ def seg_sum_scan(
         )
         w = w + shifted
         shift *= 2
-    del zrow
     row_tot = w[:, -1].astype(acc_dtype)                 # [m/128]
     offsets = jnp.concatenate(
         [jnp.zeros((1,), acc_dtype), jnp.cumsum(row_tot)]
@@ -96,7 +94,18 @@ def _pack_order_i64(values: jax.Array, descending: bool) -> jax.Array:
     """Order-preserving (or -reversing for min-via-max) map of int32 /
     float32 values into non-negative int64 < 2^32. For floats this is the
     IEEE-754 total-order map (monotone in the numeric value, NaNs
-    excluded): b = bitcast int32; b >= 0 -> b + 2^31, b < 0 -> -1 - b."""
+    excluded): b = bitcast int32; b >= 0 -> b + 2^31, b < 0 -> -1 - b.
+
+    Wider dtypes are REJECTED rather than silently narrowed: an int64
+    value beyond +/-2^31 would overflow into the packed segment-id bits
+    (corrupting a DIFFERENT segment's winner), and float64 would round
+    through float32."""
+    if values.dtype.itemsize > 4:
+        raise TypeError(
+            f"seg extreme scans support int32/float32 values, got "
+            f"{values.dtype} (64-bit values would corrupt the packed "
+            f"segment keys)"
+        )
     if jnp.issubdtype(values.dtype, jnp.floating):
         b = jax.lax.bitcast_convert_type(values.astype(jnp.float32), jnp.int32).astype(jnp.int64)
         u = jnp.where(b >= 0, b + _BIAS, -1 - b)

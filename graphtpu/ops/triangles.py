@@ -357,8 +357,9 @@ def prepare_wedge_plan(graph, cache_dir=None) -> WedgePlan:
 
 
 def _patch_spilled(plan: WedgePlan, numerator_ranked: np.ndarray) -> None:
-    """Exact host-side accounting for the rare keys the 16-slot hash rows
-    could not hold (~1e-6 per key): every triangle whose CLOSING edge
+    """Exact host-side accounting for the rare keys the 64-slot hash rows
+    could not hold (row-overflow ~3e-20 at the default fill, ~2e-7 at
+    fill=0.5): every triangle whose CLOSING edge
     (x, y) spilled was probe-missed; its apex set is in+(x) ∩ in+(y)."""
     sp = np.nonzero(plan.spilled)[0]
     if sp.size == 0:
