@@ -312,7 +312,7 @@ def bfs_adaptive_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig]
         coo, pull_indptr, deg_pad, push_indptr, push_dst,
         pull_deg_pad, trunc_tbl,
     ) = bfs_adaptive_prep(graph)
-    k_cap = int(getattr(cfg, "bfs_frontier_rows", 0) or 1 << 17)
+    k_cap = int(getattr(cfg, "bfs_frontier_rows", 0) or 1 << 16)
     e_cap = int(getattr(cfg, "bfs_frontier_edges", 0) or 1 << 18)
     k_bu = int(getattr(cfg, "bfs_bu_rows", 0) or 1 << 15)
     e_bu = int(getattr(cfg, "bfs_bu_edges", 0) or 1 << 20)
@@ -361,14 +361,9 @@ def bfs_hybrid_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig] =
         fe = int((indptr_h[frontier + 1] - indptr_h[frontier]).sum())
         if fe <= tau:
             # host expansion over out-edges of the frontier
-            lens = indptr_h[frontier + 1] - indptr_h[frontier]
-            offs = np.zeros(frontier.shape[0], dtype=np.int64)
-            np.cumsum(lens[:-1], out=offs[1:])
-            pos = (
-                np.arange(fe, dtype=np.int64)
-                - np.repeat(offs, lens)
-                + np.repeat(indptr_h[frontier], lens)
-            )
+            from graphtpu.core.graph import frontier_edge_positions
+
+            pos, _ = frontier_edge_positions(indptr_h, frontier)
             cand = dst_h[pos]
             cand = cand[levels[cand] == INT32_INF]
             # dedupe via mask scatter (cheaper than np.unique's sort)
@@ -380,7 +375,10 @@ def bfs_hybrid_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig] =
         else:
             # dense device steps while the frontier stays heavy
             coo = graph.device_pull()
-            pull_indptr = jnp.asarray(graph.pull_indptr.astype(np.int32))
+            pull_indptr = getattr(graph, "_pull_indptr_dev", None)
+            if pull_indptr is None:
+                pull_indptr = jnp.asarray(graph.pull_indptr.astype(np.int32))
+                graph._pull_indptr_dev = pull_indptr
             levels_d = jnp.asarray(levels)
             f_mask = np.zeros(n, dtype=np.int32)
             f_mask[frontier] = 1

@@ -120,6 +120,12 @@ def cdlp(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> Algorith
         raise ValueError("cdlp requires max-iterations")
     centers, neigh = build_incidence(graph)
     deg = np.bincount(centers, minlength=graph.n).astype(np.int32)
+    if centers.shape[0] == 0:
+        # edgeless graph: every vertex keeps its own label (the kernels'
+        # length-0 streams would otherwise fail shape checks at trace)
+        return AlgorithmResult(
+            "cdlp", graph.mapping.copy(), iterations=0
+        )
 
     impl = cfg.cdlp_impl
     if impl in ("auto", "adaptive") and cfg.iteration_timing:

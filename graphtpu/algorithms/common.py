@@ -71,36 +71,6 @@ class AlgorithmResult:
                 f.write(s)
 
 
-def _fmt_int(v) -> str:
-    return str(int(v))
-
-
-def _fmt_sci(v) -> str:
-    # %.15e — 16 significant digits, matching the C++ serializers'
-    # std::scientific << std::setprecision(15) (pr.cpp:27-28).
-    return f"{float(v):.15e}"
-
-
-def _fmt_sssp(v) -> str:
-    # literal "infinity" for unreachable vertices (sssp.cpp:45)
-    v = float(v)
-    return "infinity" if np.isinf(v) else f"{v:.15e}"
-
-
-def _fmt_bfs(v) -> str:
-    # unreachable -> int64 max (bfs.cpp:61)
-    v = int(v)
-    return str(UNREACHABLE) if v < 0 or v >= UNREACHABLE else str(v)
-
-
-SERIALIZERS: Dict[str, Callable] = {
-    "bfs": _fmt_bfs,
-    "pr": _fmt_sci,
-    "wcc": _fmt_int,
-    "cdlp": _fmt_int,
-    "lcc": _fmt_sci,
-    "sssp": _fmt_sssp,
-}
 
 # Populated by each algorithm module at import: name -> fn(graph, params, cfg)
 ALGORITHMS: Dict[str, Callable[[Graph, AlgorithmParams, PlatformConfig], AlgorithmResult]] = {}

@@ -226,16 +226,11 @@ def sssp_hybrid_run(graph: Graph, src_dense: int, cfg=None, dtype=np.float32):
         if fe <= tau:
             # host relaxation of the changed set's out-edges (reads are
             # synchronous: contributions computed before any update)
-            lens = indptr_h[changed + 1] - indptr_h[changed]
-            offs = np.zeros(changed.shape[0], dtype=np.int64)
-            np.cumsum(lens[:-1], out=offs[1:])
-            pos = (
-                np.arange(fe, dtype=np.int64)
-                - np.repeat(offs, lens)
-                + np.repeat(indptr_h[changed], lens)
-            )
+            from graphtpu.core.graph import frontier_edge_positions
+
+            pos, rows_rep = frontier_edge_positions(indptr_h, changed)
             cand = dst_h[pos]
-            newd = dist[np.repeat(changed, lens)] + w_h[pos]
+            newd = dist[rows_rep] + w_h[pos]
             improved = newd < dist[cand]
             cand, newd = cand[improved], newd[improved]
             np.minimum.at(dist, cand, newd)
@@ -245,7 +240,10 @@ def sssp_hybrid_run(graph: Graph, src_dense: int, cfg=None, dtype=np.float32):
             rounds += 1
         else:
             coo = graph.device_pull(wdtype=dtype)
-            pull_indptr = jnp.asarray(graph.pull_indptr.astype(np.int32))
+            pull_indptr = getattr(graph, "_pull_indptr_dev", None)
+            if pull_indptr is None:
+                pull_indptr = jnp.asarray(graph.pull_indptr.astype(np.int32))
+                graph._pull_indptr_dev = pull_indptr
             dist_d = jnp.asarray(dist)
             impl = getattr(cfg, "spmv_impl", "scan") or "scan"
             while True:

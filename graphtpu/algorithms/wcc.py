@@ -192,8 +192,8 @@ def wcc_adaptive_run(graph: Graph, cfg=None):
         )
         sym._wcc_adaptive_prep = prep
     coo, indptr, deg_pad = prep
-    k_cap = int(getattr(cfg, "wcc_frontier_rows", 0) or 1 << 17)
-    e_cap = int(getattr(cfg, "wcc_frontier_edges", 0) or 1 << 23)
+    k_cap = int(getattr(cfg, "wcc_frontier_rows", 0) or 1 << 16)
+    e_cap = int(getattr(cfg, "wcc_frontier_edges", 0) or 1 << 18)
     labels, niter = _wcc_adaptive_kernel(
         coo.src, coo.dst, indptr, deg_pad, sym.n, k_cap, e_cap,
         getattr(cfg, "spmv_impl", "scan") or "scan",

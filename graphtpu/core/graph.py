@@ -256,3 +256,21 @@ class Graph:
     def __repr__(self) -> str:
         kind = "directed" if self.directed else "undirected"
         return f"Graph(n={self.n}, nnz={self.nnz}, {kind}, weighted={self.weighted})"
+
+
+def frontier_edge_positions(indptr: "np.ndarray", frontier: "np.ndarray"):
+    """Flat CSR positions of every edge leaving `frontier` rows, plus
+    the repeated row per position: the host frontier-expansion idiom
+    shared by the hybrid BFS/SSSP drivers (one cumsum + two repeats
+    instead of a Python loop over rows)."""
+    lens = indptr[frontier + 1] - indptr[frontier]
+    fe = int(lens.sum())
+    offs = np.zeros(frontier.shape[0], dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    rows_rep = np.repeat(frontier, lens)
+    pos = (
+        np.arange(fe, dtype=np.int64)
+        - np.repeat(offs, lens)
+        + np.repeat(indptr[frontier], lens)
+    )
+    return pos, rows_rep

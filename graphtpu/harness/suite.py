@@ -235,17 +235,31 @@ class BenchmarkSuite:
         return rec
 
     def run(self) -> List[RunRecord]:
-        for graph_name in self.cfg.graphs:
-            spec = self._resolve_spec(graph_name)
-            algos = self.cfg.algorithms or spec.algorithms
-            for algorithm in algos:
-                if algorithm not in spec.algorithms:
-                    log.warning("%s does not list algorithm %s — skipping", spec.name, algorithm)
+        # one bad graph must not abort the suite or lose the report —
+        # the reference harness isolates per-job failures the same way
+        try:
+            for graph_name in self.cfg.graphs:
+                try:
+                    spec = self._resolve_spec(graph_name)
+                except Exception as e:
+                    log.error("graph %s unresolvable: %s — skipping", graph_name, e)
+                    self.records.append(RunRecord(
+                        graph=graph_name, algorithm="*", repetition=0,
+                        success=False, validated=None,
+                        processing_time_seconds=0.0, makespan_seconds=0.0,
+                        iterations=None, error=f"graph unresolvable: {e}",
+                    ))
                     continue
-                for rep in range(self.cfg.repetitions):
-                    self.run_one(spec, algorithm, rep)
-            self.platform.delete_graph(spec.name)
-        self.write_report()
+                algos = self.cfg.algorithms or spec.algorithms
+                for algorithm in algos:
+                    if algorithm not in spec.algorithms:
+                        log.warning("%s does not list algorithm %s — skipping", spec.name, algorithm)
+                        continue
+                    for rep in range(self.cfg.repetitions):
+                        self.run_one(spec, algorithm, rep)
+                self.platform.delete_graph(spec.name)
+        finally:
+            self.write_report()
         return self.records
 
     # -- reporting -----------------------------------------------------------

@@ -45,7 +45,10 @@ def _golden_dtype(algorithm: str):
     if algorithm == "bfs":
         return np.int64  # levels; unreachable = int64 max exactly
     if algorithm in ("wcc", "cdlp"):
-        return np.uint64  # labels are (original) vertex ids
+        # labels are (original) vertex ids; int64 like graph.mapping —
+        # mixing uint64 with int64 promotes comparisons to FLOAT64,
+        # which collapses distinct ids above 2^53
+        return np.int64
     return np.float64
 
 
@@ -53,7 +56,7 @@ def load_result_file(path: str, algorithm: str) -> Tuple[np.ndarray, np.ndarray]
     """(ids, values) from a `vertex value` per-line result file."""
     arr = np.loadtxt(
         path,
-        dtype=[("id", np.uint64), ("val", _golden_dtype(algorithm))],
+        dtype=[("id", np.int64), ("val", _golden_dtype(algorithm))],
         ndmin=1,
     )
     return arr["id"], arr["val"]
@@ -128,7 +131,7 @@ MATCHERS = {
 def _coerce_mine(algorithm: str, vals: np.ndarray) -> np.ndarray:
     dt = _golden_dtype(algorithm)
     if algorithm in ("wcc", "cdlp"):
-        return np.asarray(vals).astype(np.uint64, copy=False)
+        return np.asarray(vals).astype(np.int64, copy=False)
     return np.asarray(vals).astype(dt, copy=False)
 
 

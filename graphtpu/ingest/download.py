@@ -65,10 +65,13 @@ def _open_tar_stream(url: str, reader):
 
 def _safe_members(tf, dest: Path):
     """Reject archive members that would escape the destination dir."""
+    import os
+
     dest = dest.resolve()
     for m in tf:
         p = (dest / m.name).resolve()
-        if not str(p).startswith(str(dest)):
+        # commonpath, not startswith: "<dest>-sibling" must not pass
+        if os.path.commonpath([p, dest]) != str(dest):
             raise ValueError(f"archive member escapes destination: {m.name!r}")
         if not (m.isfile() or m.isdir()):
             log.warning("skipping non-regular archive member %s", m.name)
@@ -108,9 +111,14 @@ def download_dataset(
     log.info("downloading %s from %s", name, src)
     with urllib.request.urlopen(src) as reader:
         with _open_tar_stream(src, reader) as tf:
-            tf.extractall(
-                graphs_dir, members=_safe_members(tf, graphs_dir), filter="data"
-            )
+            try:
+                tf.extractall(
+                    graphs_dir, members=_safe_members(tf, graphs_dir), filter="data"
+                )
+            except TypeError:
+                # Python < 3.10.12 lacks the filter kwarg; _safe_members
+                # still rejects traversal/non-regular members
+                tf.extractall(graphs_dir, members=_safe_members(tf, graphs_dir))
     # archives may unpack either flat or under a <name>/ subdirectory;
     # normalize the flat-descriptor expectation by searching one level deep
     if not props.exists():

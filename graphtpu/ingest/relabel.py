@@ -53,16 +53,18 @@ def _parse_vertices_numpy(path: str) -> np.ndarray:
 
 
 def _parse_edges_numpy(path: str, weighted: bool):
-    data = np.loadtxt(path, dtype=np.float64, ndmin=2)
-    if data.size == 0:
+    # ids parsed as int64 directly — a float64 round-trip silently
+    # corrupts ids above 2^53 (types.py promises int64 originals)
+    ids = np.loadtxt(path, dtype=ORIGINAL_ID_DTYPE, usecols=(0, 1), ndmin=2)
+    if ids.size == 0:
         return (
             np.empty(0, ORIGINAL_ID_DTYPE),
             np.empty(0, ORIGINAL_ID_DTYPE),
             np.empty(0, np.float64) if weighted else None,
         )
-    src = data[:, 0].astype(ORIGINAL_ID_DTYPE)
-    dst = data[:, 1].astype(ORIGINAL_ID_DTYPE)
-    w = data[:, 2] if weighted and data.shape[1] > 2 else None
+    src = np.ascontiguousarray(ids[:, 0])
+    dst = np.ascontiguousarray(ids[:, 1])
+    w = np.loadtxt(path, dtype=np.float64, usecols=(2,), ndmin=1) if weighted else None
     return src, dst, w
 
 

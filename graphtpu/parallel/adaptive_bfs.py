@@ -307,7 +307,7 @@ def bfs_adaptive_dist(sg, source_dense: int, cfg=None):
     np.int32 with INT32_INF unreachable, iterations)."""
     prep = _build_prep(sg)
     coo = sg.pull()
-    k_cap = int(getattr(cfg, "bfs_frontier_rows", 0) or 1 << 17)
+    k_cap = int(getattr(cfg, "bfs_frontier_rows", 0) or 1 << 16)
     e_cap = int(getattr(cfg, "bfs_frontier_edges", 0) or 1 << 18)
     k_bu = int(getattr(cfg, "bfs_bu_rows", 0) or 1 << 15)
     e_bu = int(getattr(cfg, "bfs_bu_edges", 0) or 1 << 20)

@@ -231,6 +231,10 @@ _PLATFORM_PROPS = {
     "platform.graphtpu.sssp-active-threshold": ("sssp_active_threshold", float),
     "platform.graphtpu.sssp-frontier-rows": ("sssp_frontier_rows", int),
     "platform.graphtpu.sssp-frontier-edges": ("sssp_frontier_edges", int),
+    "platform.graphtpu.iteration-timing": (
+        "iteration_timing",
+        lambda v: str(v).strip().lower() in ("1", "true", "yes"),
+    ),
     "platform.graphtpu.slab-buckets": (
         "slab_buckets",
         lambda v: tuple(int(x) for x in str(v).split(",") if x.strip()),

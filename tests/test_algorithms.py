@@ -80,3 +80,19 @@ def test_cdlp_sort_impl_matches_golden(graphs, graph_name):
     golden = FIXTURES / f"{spec.name}-CDLP"
     ok, msg = validate_result(result, graph, str(golden))
     assert ok, msg
+
+
+def test_cdlp_edgeless_graph():
+    """Zero-edge graph: every vertex is its own community (the kernels'
+    length-0 incidence streams must not reach trace-time shape checks)."""
+    from graphtpu.core.graph import Graph
+    from graphtpu.utils.config import AlgorithmParams
+
+    ids = np.array([7, 3, 11], dtype=np.int64)
+    g = Graph.from_original_ids(
+        ids, np.empty(0, np.int64), np.empty(0, np.int64), None,
+        directed=True, weighted=False,
+    )
+    res = run_algorithm("cdlp", g, AlgorithmParams(max_iterations=5), PlatformConfig())
+    # values are original-id labels in dense order: each vertex itself
+    np.testing.assert_array_equal(res.values, ids)
