@@ -10,18 +10,22 @@ outputs, repetitions/timeouts, report generation) and — new versus the
 single-node reference — row-partitioned multi-chip execution over a
 `jax.sharding.Mesh`.
 
-Precision: float64 support is enabled at import (needed for Graphalytics
-validation-grade PageRank/SSSP/LCC outputs on CPU). All performance paths
-use explicit 32-bit dtypes so TPU execution is unaffected. Set
-GRAPHTPU_X64=0 to disable.
+Precision: float64/int64 support (x64) is always enabled at import —
+Graphalytics validation-grade outputs need f64, and the packed int64
+sort keys of the scan kernels require i64. All performance paths use
+explicit 32-bit dtypes so TPU execution is unaffected.
 """
 
 import os as _os
 
 import jax as _jax
 
-if _os.environ.get("GRAPHTPU_X64", "1") == "1":
-    _jax.config.update("jax_enable_x64", True)
+# x64 is REQUIRED, not a knob: the packed-key kernels (stream_minmode,
+# seg extreme scans, the LCC orient sort) build int64 sort keys whose
+# high bits silently truncate under jax's default 32-bit mode — wrong
+# labels/distances with no error. Performance paths pin int32/f32
+# explicitly, so enabling x64 costs nothing on TPU.
+_jax.config.update("jax_enable_x64", True)
 
 # Explicit backend override. This environment's axon sitecustomize pins
 # jax_platforms programmatically at interpreter start, so the plain

@@ -44,7 +44,12 @@ from graphtpu.utils.config import AlgorithmParams, PlatformConfig
 
 def build_incidence(graph: Graph):
     """(centers, neighbors) sorted by center; directed graphs count both
-    directions (in + out multiset union)."""
+    directions (in + out multiset union). Memoized on the Graph — the
+    O(E) host sort/concat is shared by the single-chip kernels and the
+    distributed incidence/degree views (released with the Graph)."""
+    cached = getattr(graph, "_incidence_stream", None)
+    if cached is not None:
+        return cached
     if graph.directed:
         centers = np.concatenate([graph.dst, graph.src])
         neigh = np.concatenate([graph.src, graph.dst])
@@ -53,7 +58,9 @@ def build_incidence(graph: Graph):
     else:
         s, d, _ = graph.pull_arrays()
         centers, neigh = d, s
-    return centers.astype(np.int32), neigh.astype(np.int32)
+    out = (centers.astype(np.int32), neigh.astype(np.int32))
+    graph._incidence_stream = out
+    return out
 
 
 def _run_extents(c_s: jax.Array, l_s: jax.Array):

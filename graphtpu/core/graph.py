@@ -129,8 +129,10 @@ class Graph:
 
         def to_dense(ids):
             ids = np.asarray(ids, dtype=ORIGINAL_ID_DTYPE)
+            if ids.size == 0:  # empty edge list is valid for any n
+                return ids.astype(INDEX_DTYPE)
             pos = np.searchsorted(sorted_ids, ids)
-            pos = np.clip(pos, 0, n - 1)
+            pos = np.clip(pos, 0, max(n - 1, 0))
             if n == 0 or not np.array_equal(sorted_ids[pos], ids):
                 raise ValueError("edge references unknown vertex id")
             return order[pos].astype(INDEX_DTYPE)
@@ -142,7 +144,24 @@ class Graph:
             w = np.asarray(edge_w, dtype=np.float64)
 
         if not directed:
-            # store both directions; self-loops only once
+            # store both directions; self-loops only once. Reject inputs
+            # that list an unordered pair twice with CONFLICTING weights:
+            # keep-first dedup would silently store asymmetric weights,
+            # breaking the pull/push weight-symmetry invariant the
+            # distributed SSSP relies on.
+            if w is not None and s.size:
+                lo = np.minimum(s, d).astype(np.int64)
+                hi = np.maximum(s, d).astype(np.int64)
+                bits = max(int(n).bit_length(), 1)
+                key = (lo << bits) | hi
+                o = np.argsort(key, kind="stable")
+                ks, ws = key[o], w[o]
+                dup = ks[1:] == ks[:-1]
+                if np.any(dup & (ws[1:] != ws[:-1])):
+                    raise ValueError(
+                        "undirected input lists an edge twice with "
+                        "conflicting weights"
+                    )
             non_loop = s != d
             s2 = np.concatenate([s, d[non_loop]])
             d2 = np.concatenate([d, s[non_loop]])

@@ -101,8 +101,13 @@ def masked_spgemm(
     m = mask_rows.shape[0]
     deg_a = a_indptr_host[1:] - a_indptr_host[:-1]
     dc = deg_a[mask_rows]
-    max_deg = int(deg_a.max()) if deg_a.size else 0
-    iters = max(1, int(np.ceil(np.log2(max(max_deg, 2) + 1))))
+    max_deg = int(deg_a.max()) if deg_a.size else 0  # A-side slab bucketing
+    # the binary search walks B's rows, so the iteration bound must
+    # cover B's max row length (A's bound under-searches when B has a
+    # longer row and silently drops present entries); B's total nnz is a
+    # safe static over-bound without a host copy of B's indptr
+    nb = int(b.col.shape[0])
+    iters = max(1, int(np.ceil(np.log2(max(nb, 2) + 1))))
 
     out = jnp.zeros((m,), dtype=(b.val.dtype if b.val is not None
                                  else a.val.dtype if a.val is not None else jnp.float32))

@@ -261,7 +261,9 @@ def prepare_cdlp_adaptive(graph, centers, neigh, deg, cfg=None) -> AdaptivePrep:
     n = graph.n
     deg = np.asarray(deg, dtype=np.int64)
     buckets = tuple(cfg.slab_buckets) if cfg and cfg.slab_buckets else None
-    plan = build_slab_plan(centers, neigh, deg, n, buckets)
+    from graphtpu.ops.minmode import memoized_cdlp_plan
+
+    plan = memoized_cdlp_plan(graph, centers, neigh, deg, buckets)
     indptr = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(deg, out=indptr[1:])
     deg_pad = np.concatenate([deg, [0]]).astype(np.int32)
@@ -310,7 +312,9 @@ def cdlp_adaptive_run(graph, centers, neigh, deg, itermax, cfg=None):
     np.cumsum(deg, out=indptr_h[1:])
 
     buckets = tuple(cfg.slab_buckets) if cfg and cfg.slab_buckets else None
-    plan = build_slab_plan(centers, neigh, deg, n, buckets)
+    from graphtpu.ops.minmode import memoized_cdlp_plan
+
+    plan = memoized_cdlp_plan(graph, centers, neigh, deg, buckets)
     threshold = getattr(cfg, "cdlp_active_threshold", None)
     if threshold is None:  # explicit 0 disables active-set stepping
         threshold = DEFAULT_ACTIVE_THRESHOLD

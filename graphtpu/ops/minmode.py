@@ -247,10 +247,28 @@ def _cdlp_one_step(plan: SlabPlan, labels, first=False):
     return new, jnp.any(new != labels)
 
 
+def memoized_cdlp_plan(graph, centers, neigh, deg, buckets):
+    """Slab plan for the CDLP incidence, memoized on the Graph and keyed
+    by the bucket policy — suite repetitions and the slab/adaptive
+    variants share one host build + device transfer (the LCC wedge plan
+    and the distributed plan checkpoints already follow this pattern)."""
+    from graphtpu.ops.slab import bucket_policy_key
+
+    key = repr(bucket_policy_key(buckets))
+    cached = getattr(graph, "_cdlp_slab_plan", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    plan = build_slab_plan(
+        centers, neigh, np.asarray(deg, np.int64), graph.n, buckets
+    )
+    graph._cdlp_slab_plan = (key, plan)
+    return plan
+
+
 def cdlp_slab_run(graph, centers, neigh, deg, itermax, cfg):
     """Entry point used by graphtpu/algorithms/cdlp.py. Returns (labels, it)."""
     buckets = tuple(cfg.slab_buckets) if cfg and cfg.slab_buckets else None
-    plan = build_slab_plan(centers, neigh, deg.astype(np.int64), graph.n, buckets)
+    plan = memoized_cdlp_plan(graph, centers, neigh, deg, buckets)
     labels0 = jnp.arange(graph.n, dtype=jnp.int32)
     # duplicate-free incidence (undirected simple graphs) admits the
     # gather-free first iteration

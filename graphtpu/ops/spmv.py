@@ -41,8 +41,9 @@ def pull_reduce(
     sorted segments. `impl`: "scan" (packed-scan reductions, default —
     3-6x faster than XLA segment ops on TPU per microbenchmarks) or
     "xla" (jax.ops.segment_*)."""
-    # the min/max order-packing is 32-bit; 64-bit floats keep the XLA path
-    pack_ok = not (terms.dtype == jnp.float64 and kind in ("max", "min"))
+    # the min/max order-packing is 32-bit; every 8-byte dtype (f64 AND
+    # i64) keeps the XLA path — scan_reduce rejects them at trace time
+    pack_ok = not (terms.dtype.itemsize > 4 and kind in ("max", "min"))
     if impl != "xla" and indptr is not None and pack_ok:
         from graphtpu.ops.scan_reduce import seg_max_scan, seg_min_scan, seg_sum_scan
 

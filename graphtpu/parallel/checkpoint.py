@@ -53,10 +53,18 @@ def _shards_by_device(arr: jax.Array) -> dict:
 
 def save_pull(sg: ShardedGraph, intermediate_dir, graph_name: str) -> Path:
     """Persist the pull partition of `sg` (one npz per device shard)."""
+    return save_pull_named(sg, intermediate_dir, graph_name, sg.pull(), sg.graph)
+
+
+def save_pull_named(
+    sg: ShardedGraph, intermediate_dir, graph_name: str, coo: ShardedCOO,
+    source_graph,
+) -> Path:
+    """save_pull for an arbitrary partition of `sg`'s mesh (e.g. the
+    symmetrized pull under "<name>-sym") built from `source_graph`."""
     d = _dir(intermediate_dir, graph_name, sg.num_devices)
     d.mkdir(parents=True, exist_ok=True)
-    coo = sg.pull()
-    weighted = bool(sg.graph.weighted)
+    weighted = bool(source_graph.weighted)
     src = _shards_by_device(coo.src)
     dst = _shards_by_device(coo.dst_local)
     w = _shards_by_device(coo.w) if weighted else {}
@@ -103,10 +111,24 @@ def load_pull(
 ) -> Optional[ShardedCOO]:
     """Load a previously saved pull partition into `sg` (skip-if-exists
     consumer side). Returns None when absent or incompatible."""
+    coo = load_pull_named(sg, intermediate_dir, graph_name)
+    if coo is not None:
+        sg._pull = coo
+    return coo
+
+
+def load_pull_named(
+    sg: ShardedGraph, intermediate_dir, graph_name: str, source_graph_fn=None
+) -> Optional[ShardedCOO]:
+    """load_pull for an arbitrary named partition (e.g. "<name>-sym").
+    `source_graph_fn` lazily yields the graph whose weighted-ness the
+    manifest must match (defaults to sg.graph); it is only called when a
+    manifest exists."""
     d = _dir(intermediate_dir, graph_name, sg.num_devices)
     mf = d / MANIFEST
     if not mf.exists():
         return None
+    src_graph = source_graph_fn() if source_graph_fn is not None else sg.graph
     manifest = json.loads(mf.read_text())
     if (
         manifest.get("version") != CKPT_VERSION
@@ -114,7 +136,7 @@ def load_pull(
         or manifest.get("n") != sg.n
         or manifest.get("rows_per_dev") != sg.rows_per_dev
         or manifest.get("wdtype") != sg.wdtype.name
-        or manifest.get("weighted") != bool(sg.graph.weighted)
+        or manifest.get("weighted") != bool(src_graph.weighted)
     ):
         log.warning("sharded checkpoint at %s incompatible — ignoring", d)
         return None
@@ -137,7 +159,6 @@ def load_pull(
 
     put = lambda parts: put_sharded(np.stack(parts), sg.edge_sharding)
     coo = ShardedCOO(put(cols["src"]), put(cols["dst_local"]), put(cols["w"]), put(cols["valid"]))
-    sg._pull = coo
     log.info("sharded checkpoint loaded: %s", d)
     return coo
 

@@ -180,10 +180,28 @@ class ShardedGraph:
         return self._pull
 
     def pull_symmetrized(self) -> ShardedCOO:
-        """Pull-ordered edges of the symmetrized structure (WCC)."""
+        """Pull-ordered edges of the symmetrized structure (WCC). With
+        `ckpt` set the partition persists like pull()'s — it is the
+        LARGEST partition (2x edges), so skip-if-exists matters most."""
         if self.graph.directed:
             if self._pull_sym is None:
-                self._pull_sym = self._build_pull(self.graph.symmetrized())
+                if self.ckpt is not None:
+                    from graphtpu.parallel import checkpoint as ckpt_mod
+
+                    inter, name = self.ckpt
+                    self._pull_sym = ckpt_mod.load_pull_named(
+                        self, inter, f"{name}-sym", self.graph.symmetrized
+                    )
+                if self._pull_sym is None:
+                    self._pull_sym = self._build_pull(self.graph.symmetrized())
+                    if self.ckpt is not None:
+                        from graphtpu.parallel import checkpoint as ckpt_mod
+
+                        inter, name = self.ckpt
+                        ckpt_mod.save_pull_named(
+                            self, inter, f"{name}-sym", self._pull_sym,
+                            self.graph.symmetrized(),
+                        )
             return self._pull_sym
         return self.pull()
 
@@ -214,9 +232,13 @@ class ShardedGraph:
         )
 
     def incidence_degree_padded(self) -> jax.Array:
-        """Neighbor-multiset size per vertex (CDLP's has-neighbors test)."""
-        from graphtpu.algorithms.cdlp import build_incidence
+        """Neighbor-multiset size per vertex (CDLP's has-neighbors test).
+        Cached: the incidence stream is an O(E) host build shared with
+        incidence() via the Graph-level memo."""
+        if getattr(self, "_incidence_deg", None) is None:
+            from graphtpu.algorithms.cdlp import build_incidence
 
-        centers, _ = build_incidence(self.graph)
-        deg = np.bincount(centers, minlength=self.n).astype(np.int32)
-        return self.put_replicated(self.pad_vector(deg, 0))
+            centers, _ = build_incidence(self.graph)
+            deg = np.bincount(centers, minlength=self.n).astype(np.int32)
+            self._incidence_deg = self.put_replicated(self.pad_vector(deg, 0))
+        return self._incidence_deg

@@ -163,3 +163,30 @@ def test_cache_load_sets_graph_name(tmp_path):
     cache_mod.save(g, tmp_path, "namecheck")
     g2 = cache_mod.load(tmp_path, "namecheck")
     assert g2.name == "namecheck"
+
+
+def test_empty_graph_accepted():
+    from graphtpu.core.graph import Graph
+
+    g = Graph.from_original_ids(
+        np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64),
+        None, directed=True, weighted=False,
+    )
+    assert g.n == 0 and g.nnz == 0
+
+
+def test_undirected_conflicting_weights_rejected():
+    from graphtpu.core.graph import Graph
+
+    ids = np.array([1, 2], dtype=np.int64)
+    with pytest.raises(ValueError, match="conflicting weights"):
+        Graph.from_original_ids(
+            ids, np.array([1, 2]), np.array([2, 1]),
+            np.array([1.0, 2.0]), directed=False, weighted=True,
+        )
+    # consistent duplicates are fine
+    g = Graph.from_original_ids(
+        ids, np.array([1, 2]), np.array([2, 1]),
+        np.array([3.0, 3.0]), directed=False, weighted=True,
+    )
+    assert g.nnz == 2
