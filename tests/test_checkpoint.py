@@ -113,3 +113,39 @@ def test_plan_checkpoint_invalidated_by_bucket_policy(tmp_path, monkeypatch):
     monkeypatch.setenv("GRAPHTPU_SLAB_BUCKET_K", "3")
     assert ckpt.load_plan(tmp_path, "policykey", "pr-pull", mesh=sg.mesh,
                           n=sg.n, buckets=None) is None
+
+
+def test_symmetrized_pull_checkpoint(tmp_path):
+    """Directed WCC's symmetrized partition persists under <name>-sym and
+    is restored instead of repartitioning."""
+    import jax
+
+    from graphtpu.parallel import ShardedGraph, make_mesh
+    from graphtpu.utils.synth import uniform_graph
+
+    g = uniform_graph(300, 2400, directed=True, seed=9)
+    g.name = "symck"
+    sg = ShardedGraph(g, make_mesh(len(jax.devices())))
+    sg.ckpt = (str(tmp_path), "symck")
+    coo1 = sg.pull_symmetrized()
+    assert (tmp_path / "symck-sym" / f"shards-{sg.num_devices}").exists()
+
+    # fresh sharded view: restore must not rebuild
+    sg2 = ShardedGraph(g, make_mesh(len(jax.devices())))
+    sg2.ckpt = (str(tmp_path), "symck")
+    import graphtpu.parallel.partition as part
+
+    orig = part.ShardedGraph._build_pull
+
+    def _no_rebuild(self, graph):
+        raise AssertionError("repartitioned despite existing sym checkpoint")
+
+    part.ShardedGraph._build_pull = _no_rebuild
+    try:
+        coo2 = sg2.pull_symmetrized()
+    finally:
+        part.ShardedGraph._build_pull = orig
+    import numpy as np
+
+    np.testing.assert_array_equal(np.asarray(coo1.src), np.asarray(coo2.src))
+    np.testing.assert_array_equal(np.asarray(coo1.valid), np.asarray(coo2.valid))
