@@ -106,20 +106,22 @@ class WedgePlan(NamedTuple):
 
 @partial(jax.jit, static_argnames=("id_bits",))
 def _orient_sort_kernel(eu, ev, mult, rank, id_bits):
-    """Rank gathers + orientation + one packed pair sort on device (~2
-    ns/el) — replaces the host argsort that cost minutes at graph scale."""
+    """Rank gathers + orientation + one pair sort on device (~2 ns/el) —
+    replaces the host argsort that cost minutes at graph scale. Sorts by
+    TWO int32 keys instead of one packed int64 key: TPUs emulate s64 as
+    s32 pairs, so the packed-key variadic sort doubled both the compare
+    cost and the sort scratch and OOMed the chip at RMAT s20/ef32; the
+    packed key the hash build needs is recomputed from the sorted pair
+    (same order — (ex << id_bits) | ey is monotone in (ex, ey))."""
     from graphtpu.ops.gather import table_gather
 
     ru = table_gather(rank, eu)
     rv = table_gather(rank, ev)
-    ex = jnp.minimum(ru, rv).astype(jnp.int64)
-    ey = jnp.maximum(ru, rv).astype(jnp.int64)
-    packed = (ex << id_bits) | ey
-    pk_s, m_s = jax.lax.sort((packed, mult), num_keys=1)
-    lo_mask = (1 << id_bits) - 1
-    return pk_s, m_s, (pk_s >> id_bits).astype(jnp.int32), (
-        pk_s & lo_mask
-    ).astype(jnp.int32)
+    ex = jnp.minimum(ru, rv)
+    ey = jnp.maximum(ru, rv)
+    ex_s, ey_s, m_s = jax.lax.sort((ex, ey, mult), num_keys=2)
+    packed = (ex_s.astype(jnp.int64) << id_bits) | ey_s.astype(jnp.int64)
+    return packed, m_s, ex_s, ey_s
 
 
 @partial(jax.jit, static_argnames=("w", "off"))

@@ -50,10 +50,16 @@ def main():
     print(f"graph ready {time.perf_counter()-t0:.1f}s n={g.n} nnz={g.nnz}", flush=True)
     cfg = PlatformConfig()
 
+    # resumable sections (suite jobs run one algorithm per process; the
+    # sweep frees each section's memoized device prep to match)
+    sections = set(
+        os.environ.get("GRAPHTPU_MEASURE_SECTIONS", "bfs,lcc,cdlp").split(",")
+    )
+
     # ---------------- BFS (three-phase) ----------------
     from graphtpu.algorithms.bfs import bfs_adaptive_run
 
-    for src in (0, 1, 12345):
+    for src in (0, 1, 12345) if "bfs" in sections else ():
         levels, it = bfs_adaptive_run(g, src, cfg)  # warm (compile once)
         sync(levels)
         t0 = time.perf_counter()
@@ -66,6 +72,13 @@ def main():
         )
 
     # ---------------- LCC: prep + probe variants ----------------
+    if "lcc" not in sections:
+        print("lcc section skipped", flush=True)
+        return _cdlp_section(g, cfg, sections)
+    for attr in ("_bfs_adaptive_prep", "_pull_indptr_dev"):
+        if hasattr(g, attr):
+            delattr(g, attr)  # free BFS device state (per-job isolation)
+
     from graphtpu.ops.triangles import lcc_oriented_numerator, prepare_wedge_plan
 
     t0 = time.perf_counter()
@@ -97,6 +110,14 @@ def main():
           f"{'OK' if np.array_equal(num2, nums['pairs']) else 'MISMATCH'}",
           flush=True)
     del os.environ["GRAPHTPU_LCC_HASH_FILL"]
+    del plan, plan2
+    _cdlp_section(g, cfg, sections)
+
+
+def _cdlp_section(g, cfg, sections):
+    if "cdlp" not in sections:
+        print("cdlp section skipped", flush=True)
+        return
 
     # ---------------- CDLP + PR: auto vs static slab buckets ----------------
     import jax.numpy as jnp
