@@ -134,7 +134,14 @@ class BenchmarkSuite:
             iterations=None,
         )
         if self.cfg.job_isolation == "subprocess":
-            return self._run_one_subprocess(spec, algorithm, repetition, rec, t0)
+            from graphtpu.parallel.multihost import is_multihost
+
+            if not is_multihost():
+                return self._run_one_subprocess(spec, algorithm, repetition, rec, t0)
+            # multi-host: collective jobs must execute in the ranked
+            # processes themselves — a spawned child would sit outside the
+            # jax.distributed world. Fall through to in-process execution.
+            log.info("multi-host run: job-isolation=subprocess -> inprocess")
         try:
             with _alarm(self.cfg.timeout_seconds):
                 graph = self.platform.graphs.get(spec.name) or self.platform.load_graph(spec)

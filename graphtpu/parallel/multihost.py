@@ -84,3 +84,14 @@ def is_primary() -> bool:
     import jax
 
     return jax.process_index() == 0
+
+
+def is_multihost() -> bool:
+    """True when this process is part of an initialized multi-process
+    (jax.distributed) run. Cheap: reads the module flag first so
+    single-host callers don't force a jax import/backend init."""
+    if not _initialized:
+        return False
+    import jax
+
+    return jax.process_count() > 1

@@ -264,13 +264,16 @@ class BenchmarkConfig:
     output_required: bool = True
     validation_required: bool = True
     repetitions: int = 1
+    # "subprocess" (default): each job runs as a killable child process
+    #   with its pid written to <log>/executable.pid, and is SIGKILLed at
+    #   the timeout — the reference harness's contract
+    #   (execute-job.sh:150). This is the only mode whose timeout can
+    #   interrupt a wedged single-dispatch device kernel, so it is the
+    #   default; multi-host runs fall back to inprocess automatically
+    #   (collective jobs must run in the ranked processes themselves).
     # "inprocess": jobs run in the suite process (fast — graph/device state
-    #   is reused across repetitions; timeout is best-effort SIGALRM, which
-    #   cannot interrupt a single-dispatch device kernel).
-    # "subprocess": each job runs as a killable child process with its pid
-    #   written to <log>/executable.pid, and is SIGKILLed at the timeout —
-    #   the reference harness's contract (execute-job.sh:150).
-    job_isolation: str = "inprocess"
+    #   is reused across repetitions; timeout is best-effort SIGALRM).
+    job_isolation: str = "subprocess"
     graphs_root: str = "."
     output_dir: str = "./output"
     validation_dir: Optional[str] = None

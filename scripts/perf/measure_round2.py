@@ -52,13 +52,23 @@ def main():
 
     # resumable sections (suite jobs run one algorithm per process; the
     # sweep frees each section's memoized device prep to match)
-    sections = set(
-        os.environ.get("GRAPHTPU_MEASURE_SECTIONS", "bfs,lcc,cdlp").split(",")
-    )
+    sections = {
+        s.strip()
+        for s in os.environ.get("GRAPHTPU_MEASURE_SECTIONS", "bfs,lcc,cdlp").split(",")
+        if s.strip()
+    }
+    unknown = sections - {"bfs", "lcc", "cdlp"}
+    if unknown:
+        # a typo'd section name would otherwise yield an empty run that
+        # looks successful (ADVICE r2)
+        print(f"unknown GRAPHTPU_MEASURE_SECTIONS: {sorted(unknown)}", file=sys.stderr)
+        sys.exit(2)
 
     # ---------------- BFS (three-phase) ----------------
     from graphtpu.algorithms.bfs import bfs_adaptive_run
 
+    if "bfs" not in sections:
+        print("bfs section skipped", flush=True)
     for src in (0, 1, 12345) if "bfs" in sections else ():
         levels, it = bfs_adaptive_run(g, src, cfg)  # warm (compile once)
         sync(levels)
@@ -71,13 +81,16 @@ def main():
             flush=True,
         )
 
+    # free BFS device state before any later section runs (per-job
+    # isolation — must happen even when lcc is skipped, ADVICE r2)
+    for attr in ("_bfs_adaptive_prep", "_pull_indptr_dev"):
+        if hasattr(g, attr):
+            delattr(g, attr)
+
     # ---------------- LCC: prep + probe variants ----------------
     if "lcc" not in sections:
         print("lcc section skipped", flush=True)
         return _cdlp_section(g, cfg, sections)
-    for attr in ("_bfs_adaptive_prep", "_pull_indptr_dev"):
-        if hasattr(g, attr):
-            delattr(g, attr)  # free BFS device state (per-job isolation)
 
     from graphtpu.ops.triangles import lcc_oriented_numerator, prepare_wedge_plan
 

@@ -40,12 +40,15 @@ def test_suite_full_run(tmp_path):
 
 
 def test_suite_records_failures(tmp_path):
+    # inprocess: the failure is injected by mutating the in-memory spec,
+    # which a subprocess job (re-reading the spec from disk) wouldn't see
     cfg = BenchmarkConfig(
         graphs=["example-directed"],
         algorithms=["bfs"],
         graphs_root=str(FIXTURES),
         output_dir=str(tmp_path / "output"),
         report_dir=str(tmp_path / "report"),
+        job_isolation="inprocess",
     )
     suite = BenchmarkSuite(cfg, PlatformConfig(intermediate_dir=str(tmp_path / "im")))
     spec = suite._resolve_spec("example-directed")

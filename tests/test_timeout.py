@@ -15,6 +15,9 @@ from graphtpu.utils.config import BenchmarkConfig, PlatformConfig
 
 
 def _bench_cfg(tmp_path, timeout_s):
+    # job_isolation deliberately NOT set: the DEFAULT config must give the
+    # killable-subprocess guarantee (VERDICT r2 #8 — the SIGALRM path
+    # cannot interrupt a wedged device dispatch)
     return BenchmarkConfig(
         graphs=["example-directed"],
         algorithms=["bfs"],
@@ -25,8 +28,11 @@ def _bench_cfg(tmp_path, timeout_s):
         graphs_root=str(FIXTURES),
         output_dir=str(tmp_path / "out"),
         report_dir=str(tmp_path / "report"),
-        job_isolation="subprocess",
     )
+
+
+def test_default_isolation_is_subprocess():
+    assert BenchmarkConfig().job_isolation == "subprocess"
 
 
 def test_subprocess_job_runs_and_validates(tmp_path):
