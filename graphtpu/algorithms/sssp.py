@@ -153,6 +153,237 @@ def _sssp_adaptive_kernel(
     return dist, it
 
 
+@partial(jax.jit, static_argnames=("n", "k_cap", "e_cap", "impl"))
+def _sssp_delta_kernel(
+    dist0, src, edges_src, edges_dst, pull_indptr, pull_w,
+    light_deg_pad, light_indptr, light_dst, light_w,
+    heavy_deg_pad, heavy_indptr, heavy_dst, heavy_w,
+    inv_delta, n, k_cap, e_cap, impl="scan",
+):
+    """Single-dispatch bucketed delta-stepping — the TPU counterpart of
+    the reference's LAGr_SingleSourceShortestPath with Delta=2.5
+    (sssp.cpp:70-78). Vertices are processed in buckets of width delta by
+    tentative distance; within a bucket, light edges (w <= delta) relax
+    to a fixed point through the compacted frontier engine, then heavy
+    edges (w > delta) of the now-settled bucket relax once. Heavy
+    relaxations land strictly beyond the next bucket boundary, so every
+    bucket is final when left — the property that bounds re-relaxations
+    on high-diameter weighted graphs where plain Bellman-Ford's round
+    count blows up.
+
+    Capacity gating follows the repo's nested-phase-while_loop pattern
+    (a lax.cond in a loop body schedules both branches on TPU): an
+    active set that overflows the static frontier capacities falls back
+    to one dense full-edge sweep, which is always safe — monotone
+    relaxations never break the upper-bound invariant."""
+    from graphtpu.ops.frontier import compact, expand
+    from graphtpu.ops.gather import table_gather
+
+    dtype = dist0.dtype
+    inf = jnp.asarray(jnp.inf, dtype)
+    imax = jnp.int32(np.iinfo(np.int32).max)
+    light_deg_n = light_deg_pad[:-1]
+    heavy_deg_n = heavy_deg_pad[:-1]
+
+    def bucket(dist):
+        # floor(dist/delta); inf (and anything overflowing int32) -> imax
+        b = jnp.floor(dist * inv_delta)
+        return jnp.where(
+            b >= jnp.asarray(2**31 - 1, dtype), imax, b.astype(jnp.int32)
+        )
+
+    def relax_frontier(dist, ids, deg_pad, indptr, dst, w):
+        """Scatter-min relaxation of the out-edges of `ids` in one CSR."""
+        exp = expand(ids, deg_pad, indptr, dst, e_cap)
+        du = table_gather(dist, jnp.where(exp.valid, exp.row_ids, 0))
+        cand = du + table_gather(w, exp.gpos)
+        targets = jnp.where(exp.valid, exp.neigh, jnp.int32(n))
+        new = dist.at[targets].min(jnp.where(exp.valid, cand, inf), mode="drop")
+        return new, new < dist
+
+    def derive_light(dist, changed, k):
+        active = changed & (bucket(dist) == k)
+        ids, cnt = compact(active, k_cap)
+        fe = jnp.sum(jnp.where(active, light_deg_n, 0), dtype=jnp.int32)
+        fits = (cnt <= k_cap) & (fe <= e_cap)
+        return ids, fits, cnt > 0
+
+    # ---- light fixed point within bucket k ----
+    # state: (dist, changed, ids, fits, any_active, k, it)
+    def light_active_phase(s):
+        def cond(st):
+            _, _, _, fits, any_a, _, it = st
+            return any_a & fits & (it < 4 * n)
+
+        def body(st):
+            dist, changed, ids, _, _, k, it = st
+            new, improved = relax_frontier(
+                dist, ids, light_deg_pad, light_indptr, light_dst, light_w
+            )
+            changed = changed.at[ids].set(False, mode="drop") | improved
+            ids2, fits, any_a = derive_light(new, changed, k)
+            return new, changed, ids2, fits, any_a, k, it + 1
+
+        return jax.lax.while_loop(cond, body, s)
+
+    def light_dense_phase(s):
+        def cond(st):
+            _, _, _, fits, any_a, _, it = st
+            return any_a & (~fits) & (it < 4 * n)
+
+        def body(st):
+            dist, _, _, _, _, k, it = st
+            new, improved = _sssp_dense_step(
+                dist, edges_src, edges_dst, pull_indptr, pull_w, n, impl
+            )
+            # a dense sweep relaxes every vertex's edges: the changed set
+            # collapses to exactly the improved vertices
+            ids2, fits, any_a = derive_light(new, improved, k)
+            return new, improved, ids2, fits, any_a, k, it + 1
+
+        return jax.lax.while_loop(cond, body, s)
+
+    # ---- heavy relaxation of the settled bucket (once) ----
+    # state: (dist, changed, pending, k, it)
+    def heavy_phases(s):
+        def derive_heavy(dist, k):
+            mask = bucket(dist) == k
+            ids, cnt = compact(mask, k_cap)
+            fe = jnp.sum(jnp.where(mask, heavy_deg_n, 0), dtype=jnp.int32)
+            fits = (cnt <= k_cap) & (fe <= e_cap)
+            return ids, fits
+
+        def cond_f(st):
+            dist, _, pending, k, it = st
+            _, fits = derive_heavy(dist, k)
+            return pending & fits & (it < 4 * n)
+
+        def body_f(st):
+            dist, changed, _, k, it = st
+            ids, _ = derive_heavy(dist, k)
+            new, improved = relax_frontier(
+                dist, ids, heavy_deg_pad, heavy_indptr, heavy_dst, heavy_w
+            )
+            changed = changed.at[ids].set(False, mode="drop") | improved
+            return new, changed, jnp.bool_(False), k, it + 1
+
+        def cond_d(st):
+            dist, _, pending, k, it = st
+            _, fits = derive_heavy(dist, k)
+            return pending & (~fits) & (it < 4 * n)
+
+        def body_d(st):
+            dist, _, _, k, it = st
+            new, improved = _sssp_dense_step(
+                dist, edges_src, edges_dst, pull_indptr, pull_w, n, impl
+            )
+            return new, improved, jnp.bool_(False), k, it + 1
+
+        s = jax.lax.while_loop(cond_f, body_f, s)
+        return jax.lax.while_loop(cond_d, body_d, s)
+
+    dist0 = dist0.at[src].set(jnp.asarray(0.0, dtype))
+    changed0 = jnp.zeros((n,), bool).at[src].set(True)
+
+    # outer state: (dist, changed, k, it)
+    def outer_cond(s):
+        _, _, k, it = s
+        return (k < imax) & (it < 4 * n)
+
+    def outer_body(s):
+        dist, changed, k, it = s
+        ids, fits, any_a = derive_light(dist, changed, k)
+        dist, changed, _, _, _, _, it = jax.lax.while_loop(
+            lambda st: st[4],
+            lambda st: light_dense_phase(light_active_phase(st)),
+            (dist, changed, ids, fits, any_a, k, it),
+        )
+        dist, changed, _, _, it = heavy_phases(
+            (dist, changed, jnp.bool_(True), k, it)
+        )
+        b = bucket(dist)
+        k_next = jnp.min(jnp.where(b > k, b, imax))
+        return dist, changed, k_next, it
+
+    dist, _, _, it = jax.lax.while_loop(
+        outer_cond, outer_body, (dist0, changed0, jnp.int32(0), jnp.int32(0))
+    )
+    return dist, it
+
+
+def sssp_delta_prep(graph: Graph, delta: float, dtype=np.float32):
+    """Light/heavy push-CSR split (w <= delta vs w > delta) plus the full
+    pull arrays for the dense fallback, cached on the Graph per
+    (delta, dtype). The split is the TPU analogue of LAGraph's one-time
+    tl/th matrix selects inside LAGr_SingleSourceShortestPath."""
+    key = (float(delta), np.dtype(dtype).name)
+    cache = getattr(graph, "_sssp_delta_prep", None)
+    if cache is None or cache[0] != key:
+        coo = graph.device_pull(wdtype=dtype)
+        w = graph.w.astype(dtype)
+        deg = graph.out_degree
+        n = graph.n
+        light = w <= dtype(delta)
+
+        src_rep = np.repeat(np.arange(n, dtype=np.int64), deg)
+
+        def split(mask):
+            # per-source counts of the masked edges, preserving CSR order
+            cnt = np.bincount(src_rep[mask], minlength=n).astype(np.int64)
+            indptr = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(cnt, out=indptr[1:])
+            dst_m = graph.dst[mask].astype(np.int32)
+            w_m = w[mask]
+            if dst_m.size == 0:
+                # zero-length gathers are illegal in XLA; one inert
+                # sentinel edge (all degrees stay 0, so it is never a
+                # valid expansion slot and only ever read masked)
+                dst_m = np.zeros(1, dtype=np.int32)
+                w_m = np.full(1, np.inf, dtype=dtype)
+            return (
+                jnp.asarray(np.concatenate([cnt, [0]]).astype(np.int32)),
+                jnp.asarray(indptr.astype(np.int32)),
+                jnp.asarray(dst_m),
+                jnp.asarray(w_m),
+            )
+
+        cache = (
+            key,
+            coo,
+            jnp.asarray(graph.pull_indptr.astype(np.int32)),
+            split(light),
+            split(~light),
+        )
+        graph._sssp_delta_prep = cache
+    return cache[1:]
+
+
+def sssp_delta_run(graph: Graph, src_dense: int, cfg=None, dtype=np.float32):
+    """Entry point for the single-dispatch delta-stepping SSSP."""
+    n = graph.n
+    delta = float(getattr(cfg, "sssp_delta", 0) or 2.5)
+    coo, pull_indptr, light, heavy = sssp_delta_prep(graph, delta, dtype)
+    k_cap = int(getattr(cfg, "sssp_frontier_rows", 0) or 1 << 16)
+    e_cap = int(getattr(cfg, "sssp_frontier_edges", 0) or 1 << 18)
+    dist0 = jnp.full((n,), jnp.inf, dtype=dtype)
+    dist, niter = _sssp_delta_kernel(
+        dist0,
+        jnp.int32(src_dense),
+        coo.src,
+        coo.dst,
+        pull_indptr,
+        coo.w,
+        *light,
+        *heavy,
+        jnp.asarray(1.0 / delta, dtype),
+        n,
+        k_cap,
+        e_cap,
+        getattr(cfg, "spmv_impl", "scan") or "scan",
+    )
+    return np.asarray(dist), int(niter)
+
+
 def sssp_adaptive_prep(graph: Graph, dtype=np.float32):
     """Device-resident arrays for the adaptive SSSP kernel, cached on the
     Graph."""
@@ -283,6 +514,11 @@ def sssp(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> Algorith
         )
     if impl == "hybrid":
         dist, niter = sssp_hybrid_run(graph, src_dense, cfg, dtype)
+        return AlgorithmResult(
+            "sssp", dist.astype(np.float64), iterations=int(niter)
+        )
+    if impl == "delta":
+        dist, niter = sssp_delta_run(graph, src_dense, cfg, dtype)
         return AlgorithmResult(
             "sssp", dist.astype(np.float64), iterations=int(niter)
         )

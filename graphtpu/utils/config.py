@@ -149,7 +149,8 @@ class PlatformConfig:
     bfs_frontier_rows: int = 1 << 16
     bfs_frontier_edges: int = 1 << 18
     lcc_impl: str = "auto"    # auto|oriented|sweep
-    sssp_impl: str = "auto"   # auto|adaptive|hybrid|device; dense (distributed only)
+    sssp_impl: str = "auto"   # auto|adaptive|hybrid|delta|device; dense (distributed only)
+    sssp_delta: float = 2.5   # delta-stepping bucket width (sssp.cpp:70-78)
     sssp_active_threshold: float = 0.05
     sssp_frontier_rows: int = 1 << 16
     sssp_frontier_edges: int = 1 << 18
@@ -228,6 +229,7 @@ _PLATFORM_PROPS = {
     "platform.graphtpu.bfs-bu-edges": ("bfs_bu_edges", int),
     "platform.graphtpu.lcc-impl": ("lcc_impl", str),
     "platform.graphtpu.sssp-impl": ("sssp_impl", str),
+    "platform.graphtpu.sssp-delta": ("sssp_delta", float),
     "platform.graphtpu.sssp-active-threshold": ("sssp_active_threshold", float),
     "platform.graphtpu.sssp-frontier-rows": ("sssp_frontier_rows", int),
     "platform.graphtpu.sssp-frontier-edges": ("sssp_frontier_edges", int),

@@ -94,3 +94,66 @@ def test_adaptive_chain_and_unreachable():
         dist, _ = sssp_adaptive_run(g, 0, cfg)
         np.testing.assert_allclose(dist[:4], [0.0, 1.5, 3.5, 3.75], rtol=1e-6)
         assert np.isinf(dist[4])
+
+
+# ---------------- single-dispatch delta-stepping kernel ----------------
+
+
+@pytest.mark.parametrize("directed", [True, False])
+@pytest.mark.parametrize(
+    "delta,caps",
+    [
+        (2.5, (1 << 10, 1 << 14)),   # reference Delta (sssp.cpp:70-78), roomy
+        (0.5, (1 << 10, 1 << 14)),   # many buckets, light/heavy both populated
+        (2.5, (4, 16)),              # tiny caps: dense fallback dominates
+        (0.3, (4, 16)),
+    ],
+)
+def test_delta_matches_device_kernel(directed, delta, caps):
+    from graphtpu.algorithms.sssp import sssp_delta_run
+
+    g = _weighted(rmat_graph(8, 8, directed=directed, seed=6), 1)
+    cfg = PlatformConfig(
+        sssp_delta=delta, sssp_frontier_rows=caps[0], sssp_frontier_edges=caps[1]
+    )
+    ref = _device_dist(g, 0)
+    got, _ = sssp_delta_run(g, 0, cfg)
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+def test_delta_high_diameter_chain():
+    """A weighted path — the shape where Bellman-Ford's round count equals
+    the diameter; delta-stepping must stay correct and its bucket advance
+    must walk the whole distance range."""
+    from graphtpu.algorithms.sssp import sssp_adaptive_run, sssp_delta_run
+
+    n = 300
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = src + 1
+    rng = np.random.default_rng(5)
+    w = 0.05 + rng.random(n - 1)
+    g = Graph(n, src, dst, w, np.arange(n, dtype=np.uint64),
+              directed=True, weighted=True)
+    expect = np.concatenate([[0.0], np.cumsum(w)]).astype(np.float32)
+    for delta in (2.5, 0.4):
+        cfg = PlatformConfig(sssp_delta=delta)
+        dist, _ = sssp_delta_run(g, 0, cfg)
+        np.testing.assert_allclose(dist, expect, rtol=1e-5)
+    ref, _ = sssp_adaptive_run(g, 0, PlatformConfig())
+    np.testing.assert_allclose(ref, expect, rtol=1e-5)
+
+
+def test_delta_unreachable_and_registry():
+    from graphtpu.algorithms.common import run_algorithm
+    from graphtpu.utils.config import AlgorithmParams
+
+    src = np.array([0, 1, 2], dtype=np.int64)
+    dst = np.array([1, 2, 3], dtype=np.int64)
+    w = np.array([1.5, 2.0, 0.25])
+    g = Graph(5, src, dst, w, np.arange(5, dtype=np.uint64),
+              directed=True, weighted=True)
+    cfg = PlatformConfig(sssp_impl="delta")
+    params = AlgorithmParams(source_vertex=0)
+    res = run_algorithm("sssp", g, params, cfg)
+    np.testing.assert_allclose(res.values[:4], [0.0, 1.5, 3.5, 3.75], rtol=1e-6)
+    assert np.isinf(res.values[4])
