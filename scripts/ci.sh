@@ -12,7 +12,13 @@ echo "== build native ingest library =="
 make -C native
 
 echo "== unit + golden-file + distributed tests (8-device CPU mesh) =="
-python -m pytest tests/ -q
+# -rs prints every skip with its reason; after the native build above the
+# expected skip count is ZERO — any skip is a blind spot, so fail on it
+python -m pytest tests/ -q -rs | tee /tmp/graphtpu-ci-pytest.log
+if grep -E "[0-9]+ skipped" /tmp/graphtpu-ci-pytest.log >/dev/null; then
+  echo "CI FAILED: unexpected test skips (see SKIPPED lines above)" >&2
+  exit 1
+fi
 
 echo "== end-to-end benchmark suite on the example datasets =="
 workdir=$(mktemp -d)

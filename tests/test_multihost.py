@@ -4,7 +4,8 @@ coordinator, 4 virtual CPU devices each -> one 8-device global mesh.
 Exercises multihost.initialize, process-spanning shard construction
 (partition.put_sharded routes through make_array_from_callback when
 devices span processes), cross-process collectives (all_gather/psum over
-gloo), and rank-0 result parity vs the single-chip kernels — the
+gloo), and rank-0 result parity of ALL SIX algorithms vs the
+single-chip kernels — the
 SURVEY.md §5.8 contract the README's multi-host claim rests on.
 """
 
@@ -23,7 +24,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_pr_cdlp():
+def test_two_process_distributed_all_six():
     port = _free_port()
     env_base = dict(os.environ)
     env_base.pop("JAX_PLATFORMS", None)
