@@ -71,9 +71,28 @@ def main_scaling() -> None:
     avail = len(jax.devices())
     counts = [d for d in (1, 2, 4, 8) if d <= avail]
 
+    # communication model constants (stated, not measured here): per-chip
+    # ICI injection bandwidth on a v5e slice and per-host DCN bandwidth.
+    # The 1-chip environment cannot measure collectives; these let the
+    # harness MODEL 2-host efficiency from first principles (VERDICT r2
+    # #7) until a real slice exists.
+    ICI_GBPS = 45.0   # ~bytes/s ×1e9 per chip, v5e ring
+    DCN_GBPS = 12.5   # ~100 Gbit/s NIC per host
+
     table = []
     for d in counts:
         sg = ShardedGraph(g, make_mesh(d))
+        # per-iteration collective volume of the replicated-vector design:
+        # each device all-gathers its reduced row block to every peer -> it
+        # SENDS rows_per_dev * (d-1) elements and receives the complement.
+        bytes_per_iter_per_dev = sg.rows_per_dev * (d - 1) * 4
+        # edge-cut: fraction of pull edges whose source row lives on a
+        # different device than the destination block — the halo volume a
+        # sharded-vector (non-replicated) design would exchange instead.
+        psrc, pdst, _ = g.pull_arrays()
+        edge_cut = float(
+            np.mean((psrc // sg.rows_per_dev) != (pdst // sg.rows_per_dev))
+        ) if d > 1 else 0.0
         dist.pr_dist(sg, 0.85, pr_iters)  # compile + partition warmup
         t0 = time.perf_counter()
         dist.pr_dist(sg, 0.85, pr_iters)
@@ -90,7 +109,9 @@ def main_scaling() -> None:
         bfs_teps = g.nnz / (time.perf_counter() - t0)
         table.append({"devices": d, "pr_nnz_per_s": round(pr_rate, 1),
                       "cdlp_edges_per_s": round(cdlp_rate, 1),
-                      "bfs_teps": round(bfs_teps, 1)})
+                      "bfs_teps": round(bfs_teps, 1),
+                      "bytes_per_iter_per_dev": bytes_per_iter_per_dev,
+                      "edge_cut_frac": round(edge_cut, 4)})
 
     base_pr = table[0]["pr_nnz_per_s"]
     base_cdlp = table[0]["cdlp_edges_per_s"]
@@ -100,6 +121,24 @@ def main_scaling() -> None:
         row["pr_efficiency"] = round(row["pr_nnz_per_s"] / (d * base_pr), 3)
         row["cdlp_efficiency"] = round(row["cdlp_edges_per_s"] / (d * base_cdlp), 3)
         row["bfs_efficiency"] = round(row["bfs_teps"] / (d * base_bfs), 3)
+
+    # model the BASELINE.json >=70%-on-2-hosts target from first
+    # principles: per-host compute at the real chip's measured PR rate
+    # (GRAPHTPU_CHIP_NNZ_PER_S, default = the round-2 driver-captured
+    # 0.37 Gnnz/s) vs the DCN all-gather of the replicated rank vector.
+    chip_rate = float(os.environ.get("GRAPHTPU_CHIP_NNZ_PER_S", 3.7e8))
+    t1 = g.nnz / chip_rate
+    t_comp2 = (g.nnz / 2) / chip_rate
+    t_comm2 = (g.n / 2 * 4) / (DCN_GBPS * 1e9)
+    projected = {
+        "model": "2 hosts x 1 chip; PR iter = comp(nnz/2 @ chip rate) + "
+                 "DCN all-gather(n/2 f32)",
+        "chip_nnz_per_s": chip_rate,
+        "dcn_gbps": DCN_GBPS,
+        "ici_gbps": ICI_GBPS,
+        "efficiency_no_overlap": round(t1 / (2 * (t_comp2 + t_comm2)), 3),
+        "efficiency_overlapped": round(t1 / (2 * max(t_comp2, t_comm2)), 3),
+    }
 
     top = table[-1]
     backend = jax.devices()[0].platform
@@ -122,6 +161,7 @@ def main_scaling() -> None:
                     if backend == "cpu"
                     else "real device mesh",
                     "table": table,
+                    "projected_2host": projected,
                 },
             }
         )
