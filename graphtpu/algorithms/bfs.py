@@ -82,12 +82,14 @@ def _bfs_dense_step(levels, frontier, level, edges_src, edges_dst, indptr, n, im
 
 @partial(
     jax.jit,
-    static_argnames=("n", "t_trunc", "k_cap", "e_cap", "k_bu", "e_bu", "impl"),
+    static_argnames=(
+        "n", "t_trunc", "k_cap", "e_cap", "k_s", "e_s", "k_bu", "e_bu", "impl"
+    ),
 )
 def _bfs_adaptive_kernel(
     levels0, frontier0_id, edges_src, edges_dst, pull_indptr,
     deg_pad, push_indptr, push_dst, pull_deg_pad, trunc_tbl,
-    n, t_trunc, k_cap, e_cap, k_bu, e_bu, impl="scan",
+    n, t_trunc, k_cap, e_cap, k_s, e_s, k_bu, e_bu, impl="scan",
 ):
     """Single-dispatch direction-optimizing BFS, the TPU counterpart of
     LAGr_BreadthFirstSearch's push/pull switching (bfs.cpp:76-80). Three
@@ -95,7 +97,11 @@ def _bfs_adaptive_kernel(
     schedule both branches every level on TPU):
 
     * push — small frontiers expand through the compacted frontier
-      engine over the push CSR (out-edges);
+      engine over the push CSR (out-edges); a second SMALL tier
+      (k_s/e_s) runs the same step at a fraction of the padded
+      expansion cost for the tiny head/tail levels (round-3 phase
+      breakdown: a 25k-edge level cost ~10 ms at e_cap=2^18, almost
+      all padding);
     * truncated bottom-up — heavy levels claim unvisited rows by testing
       only their first `t_trunc` in-neighbors in one gather of
       t_trunc*n indices (pull CSR segments are sorted by id, so the
@@ -110,7 +116,11 @@ def _bfs_adaptive_kernel(
     per-level host↔device transfers, which this environment's TPU relay
     makes dominant. Measured at RMAT s20/ef32 from a hub source: push
     handles levels 0/3/4, bottom-up levels 1/2 (the truncated probe
-    claims 100% of reachable rows there), dense never runs."""
+    claims 100% of reachable rows there). k_cap defaults to e_cap: the
+    round-3 phase replay showed a 101k-row/101k-edge hub frontier
+    aborting push on the ROW cap alone and paying a 286 ms dense sweep
+    (53% of the traversal) — phase choice belongs to edge counts, row
+    caps only size the buffers (Beamer's direction-optimizing rule)."""
     from graphtpu.ops.frontier import (
         compact,
         compact_stream,
@@ -123,12 +133,16 @@ def _bfs_adaptive_kernel(
     pdeg_n = pull_deg_pad[:-1]
 
     def status(levels, level):
-        """Compacted frontier ids + phase flags for `levels == level`."""
+        """Compacted frontier ids + phase flags for `levels == level`.
+        ids is sorted ascending with n-padding, so its first k_s entries
+        hold the whole frontier whenever cnt <= k_s — the small tier
+        reuses the same buffer via a static slice."""
         fmask = levels == level
         ids, cnt = compact(fmask, k_cap)
         fe = jnp.sum(jnp.where(fmask, deg_n, 0), dtype=jnp.int32)
+        small_ok = (cnt <= k_s) & (fe <= e_s)
         push_ok = (cnt <= k_cap) & (fe <= e_cap)
-        return ids, push_ok, cnt > 0
+        return ids, small_ok, push_ok, cnt > 0
 
     def full_step(levels, level):
         # the frontier IS the set of vertices at the current level — no
@@ -137,8 +151,8 @@ def _bfs_adaptive_kernel(
         levels, _ = _bfs_dense_step(
             levels, fmask, level, edges_src, edges_dst, pull_indptr, n, impl,
         )
-        ids, push_ok, nonempty = status(levels, level + 1)
-        return levels, ids, push_ok, nonempty
+        ids, small_ok, push_ok, nonempty = status(levels, level + 1)
+        return levels, ids, small_ok, push_ok, nonempty
 
     def bu_step(levels, level):
         """Truncated bottom-up: claim unvisited rows whose first t_trunc
@@ -176,47 +190,78 @@ def _bfs_adaptive_kernel(
         updated = jnp.where(claim_trunc, level + 1, levels)
         updated = updated.at[claimed_ids].set(level + 1, mode="drop")
         levels = jnp.where(ok, updated, levels)
-        ids, push_ok, nonempty = status(levels, level + 1)
+        ids, small_ok, push_ok, nonempty = status(levels, level + 1)
         # on abort the frontier at `level` is untouched and definitely
         # nonempty — don't let the empty level+1 status end the traversal,
-        # and force push_ok False so the DENSE phase (not a push step that
-        # would truncate the too-big frontier) redoes the level
+        # and force push flags False so the DENSE phase (not a push step
+        # that would truncate the too-big frontier) redoes the level
+        small_ok = jnp.where(ok, small_ok, False)
         push_ok = jnp.where(ok, push_ok, False)
         nonempty = jnp.where(ok, nonempty, True)
-        return levels, ids, push_ok, nonempty, ok
+        return levels, ids, small_ok, push_ok, nonempty, ok
 
-    def active_step(levels, ids, level):
-        exp = expand(ids, deg_pad, push_indptr, push_dst, e_cap)
-        unvisited = exp.valid & (
-            table_gather(levels, exp.neigh) == INT32_INF
-        )
-        # dedupe BEFORE the level scatter: two stream sorts at ~2 ns/el
-        # beat an E-sized scatter at ~30 ns/el, and the scatter then only
-        # touches K slots
-        ids2, cnt = compact_stream(exp.neigh, unvisited, k_cap, n)
-        # if the new frontier overflows K, ids2 is truncated and the
-        # update would be incomplete: abort the step (levels unchanged,
-        # level not counted) — the bottom-up/dense phases redo the level
-        applied = cnt <= k_cap
-        updated = levels.at[ids2].set(level + 1, mode="drop")
-        levels = jnp.where(applied, updated, levels)
-        fe = frontier_deg_sum(ids2, deg_pad)
-        ok = applied & (fe <= e_cap)
-        return levels, ids2, ok, cnt > 0, applied
+    def make_active_step(k, e):
+        def active_step(levels, ids, level):
+            exp = expand(ids, deg_pad, push_indptr, push_dst, e)
+            unvisited = exp.valid & (
+                table_gather(levels, exp.neigh) == INT32_INF
+            )
+            # dedupe BEFORE the level scatter: two stream sorts at
+            # ~2 ns/el beat an E-sized scatter at ~30 ns/el, and the
+            # scatter then only touches K slots
+            ids2, cnt = compact_stream(exp.neigh, unvisited, k, n)
+            # if the new frontier overflows K, ids2 is truncated and the
+            # update would be incomplete: abort the step (levels
+            # unchanged, level not counted) — the bigger-tier/bottom-up/
+            # dense phases redo the level
+            applied = cnt <= k
+            updated = levels.at[ids2].set(level + 1, mode="drop")
+            levels = jnp.where(applied, updated, levels)
+            fe = frontier_deg_sum(ids2, deg_pad)
+            small_ok = applied & (cnt <= k_s) & (fe <= e_s)
+            ok = applied & (fe <= e_cap)
+            return levels, ids2, small_ok, ok, cnt > 0, applied
 
-    # state: (levels, ids, push_ok, bu_failed, nonempty, level)
-    def push_phase(state):
+        return active_step
+
+    active_step = make_active_step(k_cap, e_cap)
+    active_step_small = make_active_step(k_s, e_s)
+
+    # state: (levels, ids, small_ok, push_ok, bu_failed, nonempty, level)
+    def small_phase(state):
         def cond(s):
-            _, _, push_ok, _, nonempty, level = s
-            return nonempty & push_ok & (level < n)
+            _, _, small_ok, _, _, nonempty, level = s
+            return nonempty & small_ok & (level < n)
 
         def body(s):
-            levels, ids, _, _, _, level = s
-            levels, nids, push_ok, nonempty, applied = active_step(
+            levels, ids, _, _, _, _, level = s
+            # small_ok guarantees the frontier fits in the first k_s
+            # slots of the ascending-sorted, n-padded ids buffer
+            levels, nids, small_ok, push_ok, nonempty, applied = (
+                active_step_small(levels, ids[:k_s], level)
+            )
+            nids = jnp.concatenate(
+                [nids, jnp.full((k_cap - k_s,), n, jnp.int32)]
+            )
+            return (
+                levels, nids, small_ok, push_ok, jnp.bool_(False), nonempty,
+                level + jnp.where(applied, 1, 0),
+            )
+
+        return jax.lax.while_loop(cond, body, state)
+
+    def push_phase(state):
+        def cond(s):
+            _, _, small_ok, push_ok, _, nonempty, level = s
+            return nonempty & (~small_ok) & push_ok & (level < n)
+
+        def body(s):
+            levels, ids, _, _, _, _, level = s
+            levels, nids, small_ok, push_ok, nonempty, applied = active_step(
                 levels, ids, level
             )
             return (
-                levels, nids, push_ok, jnp.bool_(False), nonempty,
+                levels, nids, small_ok, push_ok, jnp.bool_(False), nonempty,
                 level + jnp.where(applied, 1, 0),
             )
 
@@ -224,14 +269,16 @@ def _bfs_adaptive_kernel(
 
     def bu_phase(state):
         def cond(s):
-            _, _, push_ok, bu_failed, nonempty, level = s
+            _, _, _, push_ok, bu_failed, nonempty, level = s
             return nonempty & (~push_ok) & (~bu_failed) & (level < n)
 
         def body(s):
-            levels, _, _, _, _, level = s
-            levels, nids, push_ok, nonempty, applied = bu_step(levels, level)
+            levels, _, _, _, _, _, level = s
+            levels, nids, small_ok, push_ok, nonempty, applied = bu_step(
+                levels, level
+            )
             return (
-                levels, nids, push_ok, ~applied, nonempty,
+                levels, nids, small_ok, push_ok, ~applied, nonempty,
                 level + jnp.where(applied, 1, 0),
             )
 
@@ -239,41 +286,50 @@ def _bfs_adaptive_kernel(
 
     def dense_phase(state):
         def cond(s):
-            _, _, push_ok, bu_failed, nonempty, level = s
+            _, _, _, push_ok, bu_failed, nonempty, level = s
             return nonempty & (~push_ok) & bu_failed & (level < n)
 
         def body(s):
-            levels, _, _, _, _, level = s
-            levels, nids, push_ok, nonempty = full_step(levels, level)
+            levels, _, _, _, _, _, level = s
+            levels, nids, small_ok, push_ok, nonempty = full_step(levels, level)
             # clearing bu_failed exits this phase after one step and
             # lets the bottom-up phase retry at the next level
-            return levels, nids, push_ok, jnp.bool_(False), nonempty, level + 1
+            return (
+                levels, nids, small_ok, push_ok, jnp.bool_(False), nonempty,
+                level + 1,
+            )
 
         return jax.lax.while_loop(cond, body, state)
 
     levels0 = levels0.at[frontier0_id].set(0)
-    ids0, push_ok0, nonempty0 = status(levels0, 0)
-    state = (levels0, ids0, push_ok0, jnp.bool_(False), nonempty0, jnp.int32(0))
+    ids0, small_ok0, push_ok0, nonempty0 = status(levels0, 0)
+    state = (
+        levels0, ids0, small_ok0, push_ok0, jnp.bool_(False), nonempty0,
+        jnp.int32(0),
+    )
 
     def outer_cond(s):
-        _, _, _, _, nonempty, level = s
+        _, _, _, _, _, nonempty, level = s
         return nonempty & (level < n)
 
     def outer_body(s):
-        return dense_phase(bu_phase(push_phase(s)))
+        return dense_phase(bu_phase(push_phase(small_phase(s))))
 
-    levels, _, _, _, _, level = jax.lax.while_loop(outer_cond, outer_body, state)
+    levels, _, _, _, _, _, level = jax.lax.while_loop(
+        outer_cond, outer_body, state
+    )
     return levels, level
 
 
-BFS_TRUNC = 8  # in-neighbors probed per row by the truncated bottom-up
+BFS_TRUNC = 8  # default in-neighbors probed per row by the truncated bottom-up
 
 
-def bfs_adaptive_prep(graph: Graph):
+def bfs_adaptive_prep(graph: Graph, t_trunc: int = BFS_TRUNC):
     """Device-resident arrays for the adaptive BFS kernel, cached on the
-    Graph (transfers dominate a single traversal's wall time)."""
-    prep = getattr(graph, "_bfs_adaptive_prep", None)
-    if prep is None:
+    Graph per trunc depth (transfers dominate a single traversal's wall
+    time; the probe table is the only t-dependent array)."""
+    cache = getattr(graph, "_bfs_adaptive_prep", None)
+    if cache is None or cache[0] != t_trunc:
         coo = graph.device_pull()
         n = graph.n
         pull_deg = np.diff(graph.pull_indptr).astype(np.int64)
@@ -281,12 +337,13 @@ def bfs_adaptive_prep(graph: Graph):
         # trunc[t*n + v] = v's t-th smallest-id in-neighbor, sentinel n
         # past the row's degree (the frontier mask is padded with 0 at n)
         psrc = graph.pull_arrays()[0]
-        offs = np.arange(BFS_TRUNC, dtype=np.int64)
+        offs = np.arange(t_trunc, dtype=np.int64)
         pos = graph.pull_indptr[:-1, None] + offs[None, :]
         valid = offs[None, :] < pull_deg[:, None]
-        trunc = np.full((n, BFS_TRUNC), n, dtype=np.int32)
+        trunc = np.full((n, t_trunc), n, dtype=np.int32)
         trunc[valid] = psrc[np.minimum(pos, max(len(psrc) - 1, 0))[valid]]
-        prep = (
+        cache = (
+            t_trunc,
             coo,
             jnp.asarray(graph.pull_indptr.astype(np.int32)),
             jnp.asarray(
@@ -299,8 +356,8 @@ def bfs_adaptive_prep(graph: Graph):
             ),
             jnp.asarray(np.ascontiguousarray(trunc.T).reshape(-1)),
         )
-        graph._bfs_adaptive_prep = prep
-    return prep
+        graph._bfs_adaptive_prep = cache
+    return cache[1:]
 
 
 def bfs_adaptive_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig] = None):
@@ -308,12 +365,18 @@ def bfs_adaptive_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig]
     (levels int32 DEVICE array with INT32_INF unreachable, iterations) —
     levels stay on device so callers control when to pay the D2H copy."""
     n = graph.n
+    t_trunc = int(getattr(cfg, "bfs_trunc", 0) or BFS_TRUNC)
     (
         coo, pull_indptr, deg_pad, push_indptr, push_dst,
         pull_deg_pad, trunc_tbl,
-    ) = bfs_adaptive_prep(graph)
-    k_cap = int(getattr(cfg, "bfs_frontier_rows", 0) or 1 << 16)
+    ) = bfs_adaptive_prep(graph, t_trunc)
+    # k defaults match e: phase choice belongs to EDGE counts; a row cap
+    # below the edge cap forced a 286 ms dense sweep on hub frontiers
+    # (round-3 phase replay)
     e_cap = int(getattr(cfg, "bfs_frontier_edges", 0) or 1 << 18)
+    k_cap = int(getattr(cfg, "bfs_frontier_rows", 0) or e_cap)
+    e_s = min(int(getattr(cfg, "bfs_small_edges", 0) or 1 << 16), e_cap)
+    k_s = min(int(getattr(cfg, "bfs_small_rows", 0) or e_s), k_cap)
     k_bu = int(getattr(cfg, "bfs_bu_rows", 0) or 1 << 15)
     e_bu = int(getattr(cfg, "bfs_bu_edges", 0) or 1 << 20)
     levels0 = jnp.full((n,), INT32_INF, dtype=jnp.int32)
@@ -329,9 +392,11 @@ def bfs_adaptive_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig]
         pull_deg_pad,
         trunc_tbl,
         n,
-        BFS_TRUNC,
+        t_trunc,
         k_cap,
         e_cap,
+        k_s,
+        e_s,
         k_bu,
         e_bu,
         getattr(cfg, "spmv_impl", "scan") or "scan",

@@ -1,0 +1,76 @@
+"""Speed-of-light accounting for the hot kernels (VERDICT r2 #3).
+
+The north star requires every benchmarked kernel to report utilization
+against its own roof. On this memory-bound workload the roof of every
+kernel is set by a handful of primitive rates, measured on the real
+v5e chip by scripts/perf/bfs_phases.py (round 3, RMAT s20/ef32 shapes):
+
+    table_gather        ~2.6 ns/index   (W=128 row-gather + lane select;
+                                         the dominating primitive of every
+                                         message-passing iteration)
+    packed-scan reduce  ~1.4 ns/element (ops/scan_reduce.py; ROADMAP)
+    sort                ~1.9 ns/element
+    scatter             ~30 ns/element  (why the repo assembles by
+                                         inverse-permutation gather)
+    dispatch+sync       ~25 ms          (axon relay round trip; excluded
+                                         from single-dispatch kernels)
+
+A kernel's roof is its unavoidable index-touch count times the gather
+rate (plus scan volume where a segment reduce follows). `sol_pct` is
+measured-roof ÷ measured-time: 100% means the kernel runs at the speed
+the chip moves its indices; >100% means the roof model undercounts fused
+work (report it, don't clamp). The reference analogue: the CUDA fork
+quantified every kernel variant against its baseline (BASELINE.md rows
+8-10, ECE508 report §5).
+
+Rates are overridable for new hardware via GRAPHTPU_RATE_<NAME>
+(e.g. GRAPHTPU_RATE_GATHER_NS=1.8).
+"""
+
+from __future__ import annotations
+
+import os
+
+# measured on TPU v5e through the axon relay, round 3
+RATES_TPU = {
+    "gather_ns": 2.6,
+    "scan_ns": 1.4,
+    "sort_ns": 1.9,
+    "scatter_ns": 30.0,
+    "dispatch_ms": 25.0,
+}
+
+
+def rate(name: str) -> float:
+    env = os.environ.get(f"GRAPHTPU_RATE_{name.upper().replace('.', '_')}")
+    if env is not None:
+        return float(env)
+    return RATES_TPU[name]
+
+
+def roof_seconds(gathers: float = 0.0, scans: float = 0.0,
+                 sorts: float = 0.0, scatters: float = 0.0) -> float:
+    """Lower-bound execution time for the given primitive volumes."""
+    return (
+        gathers * rate("gather_ns")
+        + scans * rate("scan_ns")
+        + sorts * rate("sort_ns")
+        + scatters * rate("scatter_ns")
+    ) * 1e-9
+
+
+def sol_pct(measured_seconds: float, roof_s: float) -> float:
+    """Utilization vs the roof, in percent (not clamped)."""
+    if measured_seconds <= 0:
+        return 0.0
+    return round(100.0 * roof_s / measured_seconds, 1)
+
+
+def plan_gather_count(plan) -> int:
+    """Padded gather volume of one slab-plan sweep (ops/slab.SlabPlan):
+    every slab element is one table_gather index, plus the heavy-tail
+    stream's indices."""
+    total = sum(int(b.slab.size) for b in plan.slabs)
+    if plan.heavy_neigh is not None:
+        total += int(plan.heavy_neigh.shape[0])
+    return total

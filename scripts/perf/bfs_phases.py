@@ -137,8 +137,11 @@ def main():
     deg_n = deg_pad[:-1]
     pdeg_n = pull_deg_pad[:-1]
 
+    # big arrays must be jit ARGUMENTS: closure-captured device arrays
+    # embed as HLO constants and the relay rejects the oversized compile
+    # request (HTTP 413)
     @jax.jit
-    def status_j(levels, level):
+    def status_j(levels, level, deg_n):
         fmask = levels == level
         ids, cnt = compact(fmask, k_cap)
         fe = jnp.sum(jnp.where(fmask, deg_n, 0), dtype=jnp.int32)
@@ -146,7 +149,7 @@ def main():
         return ids, cnt, fe, push_ok
 
     @jax.jit
-    def push_j(levels, ids, level):
+    def push_j(levels, ids, level, deg_pad, push_indptr, push_dst):
         exp = expand(ids, deg_pad, push_indptr, push_dst, e_cap)
         unvisited = exp.valid & (table_gather(levels, exp.neigh) == INT32_INF)
         ids2, cnt = compact_stream(exp.neigh, unvisited, k_cap, n)
@@ -156,7 +159,7 @@ def main():
         return levels, applied
 
     @jax.jit
-    def bu_j(levels, level):
+    def bu_j(levels, level, trunc_tbl, pdeg_n, pull_deg_pad, pull_indptr, esrc):
         fmask_pad = jnp.concatenate(
             [(levels == level).astype(jnp.int32), jnp.zeros((1,), jnp.int32)]
         )
@@ -167,7 +170,7 @@ def main():
         rids, rcnt = compact(resid_mask, k_bu)
         fe_r = frontier_deg_sum(rids, pull_deg_pad)
         ok = (rcnt <= k_bu) & (fe_r <= e_bu)
-        exp = expand(rids, pull_deg_pad, pull_indptr, coo.src, e_bu)
+        exp = expand(rids, pull_deg_pad, pull_indptr, esrc, e_bu)
         rhit = (exp.valid & (table_gather(fmask_pad, exp.neigh) == 1)).astype(jnp.int32)
         cs = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(rhit, dtype=jnp.int32)])
         seg_hits = table_gather(cs, exp.seg_starts[1:]) - table_gather(cs, exp.seg_starts[:-1])
@@ -179,7 +182,7 @@ def main():
 
     # sub-pieces of bu to attribute its time
     @jax.jit
-    def bu_trunc_only(levels, level):
+    def bu_trunc_only(levels, level, trunc_tbl):
         fmask_pad = jnp.concatenate(
             [(levels == level).astype(jnp.int32), jnp.zeros((1,), jnp.int32)]
         )
@@ -187,48 +190,48 @@ def main():
         return jnp.sum(hit, dtype=jnp.int32)
 
     @jax.jit
-    def dense_j(levels, level):
+    def dense_j(levels, level, esrc, edst, pull_indptr):
         fmask = (levels == level).astype(jnp.int32)
-        levels, _ = _bfs_dense_step(levels, fmask, level, coo.src, coo.dst, pull_indptr, n, impl)
+        levels, _ = _bfs_dense_step(levels, fmask, level, esrc, edst, pull_indptr, n, impl)
         return levels
 
     levels = jnp.full((n,), INT32_INF, jnp.int32).at[src].set(0)
     level = 0
     rows = []
     # warm all step kernels once on level-0 state
-    _ = status_j(levels, jnp.int32(0)); sync(_[0])
-    sync(push_j(levels, _[0], jnp.int32(0))[0])
-    sync(bu_j(levels, jnp.int32(0))[0])
-    sync(bu_trunc_only(levels, jnp.int32(0)))
-    sync(dense_j(levels, jnp.int32(0))[0])
+    _ = status_j(levels, jnp.int32(0), deg_n); sync(_[0])
+    sync(push_j(levels, _[0], jnp.int32(0), deg_pad, push_indptr, push_dst)[0])
+    sync(bu_j(levels, jnp.int32(0), trunc_tbl, pdeg_n, pull_deg_pad, pull_indptr, coo.src)[0])
+    sync(bu_trunc_only(levels, jnp.int32(0), trunc_tbl))
+    sync(dense_j(levels, jnp.int32(0), coo.src, coo.dst, pull_indptr)[0])
 
     levels = jnp.full((n,), INT32_INF, jnp.int32).at[src].set(0)
     while level < n:
-        ids, cnt, fe, push_ok = status_j(levels, jnp.int32(level))
+        ids, cnt, fe, push_ok = status_j(levels, jnp.int32(level), deg_n)
         cnt, fe, push_ok = int(cnt), int(fe), bool(push_ok)
         if cnt == 0:
             break
         t0 = time.perf_counter()
         if push_ok:
-            new_levels, applied = push_j(levels, ids, jnp.int32(level))
+            new_levels, applied = push_j(levels, ids, jnp.int32(level), deg_pad, push_indptr, push_dst)
             sync(new_levels)
             dt = time.perf_counter() - t0
             phase = "push"
             ok = bool(applied)
             extra = ""
         else:
-            new_levels, ok, rcnt, fe_r = bu_j(levels, jnp.int32(level))
+            new_levels, ok, rcnt, fe_r = bu_j(levels, jnp.int32(level), trunc_tbl, pdeg_n, pull_deg_pad, pull_indptr, coo.src)
             sync(new_levels)
             dt = time.perf_counter() - t0
             phase = "bu"
             ok = bool(ok)
             extra = f" resid_rows={int(rcnt)} resid_edges={int(fe_r)}"
             t0b = time.perf_counter()
-            sync(bu_trunc_only(levels, jnp.int32(level)))
+            sync(bu_trunc_only(levels, jnp.int32(level), trunc_tbl))
             extra += f" trunc_only={(time.perf_counter()-t0b-t_nop)*1e3:.1f}ms"
         if not ok:
             t0 = time.perf_counter()
-            new_levels = dense_j(levels, jnp.int32(level))
+            new_levels = dense_j(levels, jnp.int32(level), coo.src, coo.dst, pull_indptr)
             sync(new_levels)
             dt = time.perf_counter() - t0
             phase = "dense(after-abort)" if phase == "bu" else "dense"
@@ -248,7 +251,7 @@ def main():
         flush=True,
     )
     # status cost estimate: one compact+sum per level inside the kernel
-    t_status = timeit(lambda: sync(status_j(levels, jnp.int32(0))[0]))
+    t_status = timeit(lambda: sync(status_j(levels, jnp.int32(0), deg_n)[0]))
     print(f"[prim] status (compact n + deg sum): {(t_status-t_nop)*1e3:.1f} ms/level", flush=True)
 
 
