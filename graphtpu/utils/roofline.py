@@ -37,6 +37,8 @@ RATES_TPU = {
     "scan_ns": 1.4,
     "sort_ns": 1.9,
     "scatter_ns": 30.0,
+    "hashrow_ns": 16.0,   # LCC big-table hash-row fetch (issue-rate bound,
+    #                       ROADMAP round-1 measurement on the 1.07 GB table)
     "dispatch_ms": 25.0,
 }
 
