@@ -82,45 +82,47 @@ def _bfs_dense_step(levels, frontier, level, edges_src, edges_dst, indptr, n, im
 
 @partial(
     jax.jit,
-    static_argnames=(
-        "n", "t_trunc", "k_cap", "e_cap", "k_s", "e_s", "k_bu", "e_bu", "impl"
-    ),
+    static_argnames=("n", "t_trunc", "tiers", "k_bu", "e_bu", "impl"),
 )
 def _bfs_adaptive_kernel(
     levels0, frontier0_id, edges_src, edges_dst, pull_indptr,
     deg_pad, push_indptr, push_dst, pull_deg_pad, trunc_tbl,
-    n, t_trunc, k_cap, e_cap, k_s, e_s, k_bu, e_bu, impl="scan",
+    n, t_trunc, tiers, k_bu, e_bu, impl="scan",
 ):
     """Single-dispatch direction-optimizing BFS, the TPU counterpart of
-    LAGr_BreadthFirstSearch's push/pull switching (bfs.cpp:76-80). Three
-    phases as nested while_loops (a lax.cond in a loop body would
+    LAGr_BreadthFirstSearch's push/pull switching (bfs.cpp:76-80). The
+    phases are nested while_loops (a lax.cond in a loop body would
     schedule both branches every level on TPU):
 
-    * push — small frontiers expand through the compacted frontier
-      engine over the push CSR (out-edges); a second SMALL tier
-      (k_s/e_s) runs the same step at a fraction of the padded
-      expansion cost for the tiny head/tail levels (round-3 phase
-      breakdown: a 25k-edge level cost ~10 ms at e_cap=2^18, almost
-      all padding);
-    * truncated bottom-up — heavy levels claim unvisited rows by testing
-      only their first `t_trunc` in-neighbors in one gather of
-      t_trunc*n indices (pull CSR segments are sorted by id, so the
-      lowest-id in-neighbors — which on RMAT graphs skew toward hubs,
-      reached early — are the ones probed); rows the truncated probe
-      misses are compacted and their full in-edge lists checked through
-      the frontier engine;
+    * push tier ladder — `tiers` is an ascending tuple of (rows, edges)
+      capacities; each level runs the SMALLEST tier that fits its
+      frontier, so a 25k-edge tail level pays a 2^16-slot expansion
+      instead of a 2^22-slot one (the padded expansion cost is linear
+      in the tier's edge capacity: ~10 ms at 2^18 for that level in the
+      round-3 phase replay). The top tier replaces the round-2 dense
+      fallback for MID-SIZE frontiers: a non-hub source's 1M-edge level
+      used to abort bottom-up (low probe hit rate -> residual overflow)
+      and pay a 286 ms full sweep;
+    * truncated bottom-up — heavy levels (frontier edges above the top
+      tier, i.e. around Beamer's m/alpha switch point) claim unvisited
+      rows by testing their first `t_trunc` in-neighbors in one gather
+      of t_trunc*n indices (pull CSR segments are sorted by id, so the
+      probed lowest-id in-neighbors skew toward early-reached hubs);
+      rows the probe misses are compacted and their full in-edge lists
+      checked through the frontier engine;
     * dense pull fallback — a full-edge gather + segment reduce, only
       when the bottom-up residual overflows its static capacities.
 
+    Phase selection: `chosen = max(first_fit(cnt, fe), min_tier)` where
+    first_fit is the smallest fitting tier index, T = len(tiers) means
+    bottom-up and T+1 dense. `min_tier` escalates on aborts (a tier
+    whose OUTPUT frontier overflows its row budget re-runs the level one
+    tier up; bottom-up overflow re-runs it dense) and resets to 0 when a
+    level completes — every level terminates because dense is total.
+
     One dispatch for the whole traversal — the host-driven hybrid pays
-    per-level host↔device transfers, which this environment's TPU relay
-    makes dominant. Measured at RMAT s20/ef32 from a hub source: push
-    handles levels 0/3/4, bottom-up levels 1/2 (the truncated probe
-    claims 100% of reachable rows there). k_cap defaults to e_cap: the
-    round-3 phase replay showed a 101k-row/101k-edge hub frontier
-    aborting push on the ROW cap alone and paying a 286 ms dense sweep
-    (53% of the traversal) — phase choice belongs to edge counts, row
-    caps only size the buffers (Beamer's direction-optimizing rule)."""
+    per-level host-device transfers, which this environment's TPU relay
+    makes dominant."""
     from graphtpu.ops.frontier import (
         compact,
         compact_stream,
@@ -131,36 +133,68 @@ def _bfs_adaptive_kernel(
 
     deg_n = deg_pad[:-1]
     pdeg_n = pull_deg_pad[:-1]
+    T = len(tiers)
+    BU, DENSE = T, T + 1
+
+    def first_fit(cnt, fe):
+        """Smallest tier whose (rows, edges) budget fits; T if none."""
+        ff = jnp.int32(BU)
+        for i in range(T - 1, -1, -1):
+            k_i, e_i = tiers[i]
+            ff = jnp.where((cnt <= k_i) & (fe <= e_i), jnp.int32(i), ff)
+        return ff
 
     def status(levels, level):
-        """Compacted frontier ids + phase flags for `levels == level`.
-        ids is sorted ascending with n-padding, so its first k_s entries
-        hold the whole frontier whenever cnt <= k_s — the small tier
-        reuses the same buffer via a static slice."""
+        """(cnt, fe) of `levels == level` — pure mask sums (no sort).
+        Frontier ids are compacted lazily inside the tier step that
+        consumes them; bottom-up and dense never read ids."""
         fmask = levels == level
-        ids, cnt = compact(fmask, k_cap)
+        cnt = jnp.sum(fmask, dtype=jnp.int32)
         fe = jnp.sum(jnp.where(fmask, deg_n, 0), dtype=jnp.int32)
-        small_ok = (cnt <= k_s) & (fe <= e_s)
-        push_ok = (cnt <= k_cap) & (fe <= e_cap)
-        return ids, small_ok, push_ok, cnt > 0
+        return cnt, fe
 
-    def full_step(levels, level):
-        # the frontier IS the set of vertices at the current level — no
-        # mask state has to survive across phases
-        fmask = (levels == level).astype(jnp.int32)
-        levels, _ = _bfs_dense_step(
-            levels, fmask, level, edges_src, edges_dst, pull_indptr, n, impl,
-        )
-        ids, small_ok, push_ok, nonempty = status(levels, level + 1)
-        return levels, ids, small_ok, push_ok, nonempty
+    # ---- phase step bodies ----
+    # state: (levels, cnt, fe, min_tier, level)
 
-    def bu_step(levels, level):
+    def make_tier_step(i):
+        k, e = tiers[i]
+
+        def tier_step(s):
+            levels, cnt, fe, _, level = s
+            ids, _ = compact(levels == level, k)
+            exp = expand(ids, deg_pad, push_indptr, push_dst, e)
+            unvisited = exp.valid & (
+                table_gather(levels, exp.neigh) == INT32_INF
+            )
+            # dedupe BEFORE the level scatter: two stream sorts at
+            # ~2 ns/el beat an E-sized scatter at ~30 ns/el, and the
+            # scatter then only touches K slots
+            ids2, cnt2 = compact_stream(exp.neigh, unvisited, k, n)
+            # if the new frontier overflows this tier's row budget, ids2
+            # is truncated and the update would be incomplete: abort
+            # (levels unchanged, level not counted) and escalate
+            applied = cnt2 <= k
+            updated = levels.at[ids2].set(level + 1, mode="drop")
+            levels = jnp.where(applied, updated, levels)
+            fe2 = frontier_deg_sum(ids2, deg_pad)
+            return (
+                levels,
+                jnp.where(applied, cnt2, cnt),
+                jnp.where(applied, fe2, fe),
+                jnp.where(applied, jnp.int32(0), jnp.int32(i + 1)),
+                level + jnp.where(applied, 1, 0),
+            )
+
+        return tier_step
+
+    def bu_step(s):
         """Truncated bottom-up: claim unvisited rows whose first t_trunc
         in-neighbors hit the frontier (one gather of t_trunc*n indices);
         rows with deg > t_trunc that the probe missed get their full
         in-edge lists checked through the frontier engine. Aborts
         (levels unchanged, level not counted) when that residual
         overflows k_bu/e_bu — the dense phase then redoes the level."""
+        levels, cnt, fe, _, level = s
         fmask_pad = jnp.concatenate(
             [(levels == level).astype(jnp.int32), jnp.zeros((1,), jnp.int32)]
         )
@@ -190,138 +224,66 @@ def _bfs_adaptive_kernel(
         updated = jnp.where(claim_trunc, level + 1, levels)
         updated = updated.at[claimed_ids].set(level + 1, mode="drop")
         levels = jnp.where(ok, updated, levels)
-        ids, small_ok, push_ok, nonempty = status(levels, level + 1)
-        # on abort the frontier at `level` is untouched and definitely
-        # nonempty — don't let the empty level+1 status end the traversal,
-        # and force push flags False so the DENSE phase (not a push step
-        # that would truncate the too-big frontier) redoes the level
-        small_ok = jnp.where(ok, small_ok, False)
-        push_ok = jnp.where(ok, push_ok, False)
-        nonempty = jnp.where(ok, nonempty, True)
-        return levels, ids, small_ok, push_ok, nonempty, ok
+        ncnt, nfe = status(levels, level + 1)
+        return (
+            levels,
+            jnp.where(ok, ncnt, cnt),
+            jnp.where(ok, nfe, fe),
+            jnp.where(ok, jnp.int32(0), jnp.int32(DENSE)),
+            level + jnp.where(ok, 1, 0),
+        )
 
-    def make_active_step(k, e):
-        def active_step(levels, ids, level):
-            exp = expand(ids, deg_pad, push_indptr, push_dst, e)
-            unvisited = exp.valid & (
-                table_gather(levels, exp.neigh) == INT32_INF
-            )
-            # dedupe BEFORE the level scatter: two stream sorts at
-            # ~2 ns/el beat an E-sized scatter at ~30 ns/el, and the
-            # scatter then only touches K slots
-            ids2, cnt = compact_stream(exp.neigh, unvisited, k, n)
-            # if the new frontier overflows K, ids2 is truncated and the
-            # update would be incomplete: abort the step (levels
-            # unchanged, level not counted) — the bigger-tier/bottom-up/
-            # dense phases redo the level
-            applied = cnt <= k
-            updated = levels.at[ids2].set(level + 1, mode="drop")
-            levels = jnp.where(applied, updated, levels)
-            fe = frontier_deg_sum(ids2, deg_pad)
-            small_ok = applied & (cnt <= k_s) & (fe <= e_s)
-            ok = applied & (fe <= e_cap)
-            return levels, ids2, small_ok, ok, cnt > 0, applied
+    def dense_step(s):
+        # the frontier IS the set of vertices at the current level — no
+        # mask state has to survive across phases
+        levels, _, _, _, level = s
+        fmask = (levels == level).astype(jnp.int32)
+        levels, _ = _bfs_dense_step(
+            levels, fmask, level, edges_src, edges_dst, pull_indptr, n, impl,
+        )
+        ncnt, nfe = status(levels, level + 1)
+        return levels, ncnt, nfe, jnp.int32(0), level + 1
 
-        return active_step
+    def chosen(s):
+        _, cnt, fe, min_tier, _ = s
+        return jnp.maximum(first_fit(cnt, fe), min_tier)
 
-    active_step = make_active_step(k_cap, e_cap)
-    active_step_small = make_active_step(k_s, e_s)
+    def make_phase(idx, step):
+        def phase(state):
+            def cond(s):
+                return (s[1] > 0) & (chosen(s) == idx) & (s[4] < n)
 
-    # state: (levels, ids, small_ok, push_ok, bu_failed, nonempty, level)
-    def small_phase(state):
-        def cond(s):
-            _, _, small_ok, _, _, nonempty, level = s
-            return nonempty & small_ok & (level < n)
+            return jax.lax.while_loop(cond, step, state)
 
-        def body(s):
-            levels, ids, _, _, _, _, level = s
-            # small_ok guarantees the frontier fits in the first k_s
-            # slots of the ascending-sorted, n-padded ids buffer
-            levels, nids, small_ok, push_ok, nonempty, applied = (
-                active_step_small(levels, ids[:k_s], level)
-            )
-            nids = jnp.concatenate(
-                [nids, jnp.full((k_cap - k_s,), n, jnp.int32)]
-            )
-            return (
-                levels, nids, small_ok, push_ok, jnp.bool_(False), nonempty,
-                level + jnp.where(applied, 1, 0),
-            )
+        return phase
 
-        return jax.lax.while_loop(cond, body, state)
-
-    def push_phase(state):
-        def cond(s):
-            _, _, small_ok, push_ok, _, nonempty, level = s
-            return nonempty & (~small_ok) & push_ok & (level < n)
-
-        def body(s):
-            levels, ids, _, _, _, _, level = s
-            levels, nids, small_ok, push_ok, nonempty, applied = active_step(
-                levels, ids, level
-            )
-            return (
-                levels, nids, small_ok, push_ok, jnp.bool_(False), nonempty,
-                level + jnp.where(applied, 1, 0),
-            )
-
-        return jax.lax.while_loop(cond, body, state)
-
-    def bu_phase(state):
-        def cond(s):
-            _, _, _, push_ok, bu_failed, nonempty, level = s
-            return nonempty & (~push_ok) & (~bu_failed) & (level < n)
-
-        def body(s):
-            levels, _, _, _, _, _, level = s
-            levels, nids, small_ok, push_ok, nonempty, applied = bu_step(
-                levels, level
-            )
-            return (
-                levels, nids, small_ok, push_ok, ~applied, nonempty,
-                level + jnp.where(applied, 1, 0),
-            )
-
-        return jax.lax.while_loop(cond, body, state)
-
-    def dense_phase(state):
-        def cond(s):
-            _, _, _, push_ok, bu_failed, nonempty, level = s
-            return nonempty & (~push_ok) & bu_failed & (level < n)
-
-        def body(s):
-            levels, _, _, _, _, _, level = s
-            levels, nids, small_ok, push_ok, nonempty = full_step(levels, level)
-            # clearing bu_failed exits this phase after one step and
-            # lets the bottom-up phase retry at the next level
-            return (
-                levels, nids, small_ok, push_ok, jnp.bool_(False), nonempty,
-                level + 1,
-            )
-
-        return jax.lax.while_loop(cond, body, state)
+    phases = [make_phase(i, make_tier_step(i)) for i in range(T)]
+    phases.append(make_phase(BU, bu_step))
+    phases.append(make_phase(DENSE, dense_step))
 
     levels0 = levels0.at[frontier0_id].set(0)
-    ids0, small_ok0, push_ok0, nonempty0 = status(levels0, 0)
-    state = (
-        levels0, ids0, small_ok0, push_ok0, jnp.bool_(False), nonempty0,
-        jnp.int32(0),
-    )
+    cnt0, fe0 = status(levels0, 0)
+    state = (levels0, cnt0, fe0, jnp.int32(0), jnp.int32(0))
 
     def outer_cond(s):
-        _, _, _, _, _, nonempty, level = s
-        return nonempty & (level < n)
+        return (s[1] > 0) & (s[4] < n)
 
     def outer_body(s):
-        return dense_phase(bu_phase(push_phase(small_phase(s))))
+        for ph in phases:
+            s = ph(s)
+        return s
 
-    levels, _, _, _, _, _, level = jax.lax.while_loop(
-        outer_cond, outer_body, state
-    )
-    return levels, level
+    state = jax.lax.while_loop(outer_cond, outer_body, state)
+    return state[0], state[4]
 
 
-BFS_TRUNC = 8  # default in-neighbors probed per row by the truncated bottom-up
+# default in-neighbors probed per row by the truncated bottom-up.
+# Round-3 sweep at RMAT s20/ef32 (scripts/perf/measure_bfs3.py): t=2
+# fastest at every tested source, t=4 within 5%, t=8 ~15% slower — the
+# probe gather is t*n indices/level and residuals stayed empty down to
+# t=2 on hub-adjacent levels; the capacity-gated dense fallback bounds
+# the cost of a weak probe on other graphs. bfs-trunc overrides.
+BFS_TRUNC = 2
 
 
 def bfs_adaptive_prep(graph: Graph, t_trunc: int = BFS_TRUNC):
@@ -370,13 +332,27 @@ def bfs_adaptive_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig]
         coo, pull_indptr, deg_pad, push_indptr, push_dst,
         pull_deg_pad, trunc_tbl,
     ) = bfs_adaptive_prep(graph, t_trunc)
-    # k defaults match e: phase choice belongs to EDGE counts; a row cap
-    # below the edge cap forced a 286 ms dense sweep on hub frontiers
-    # (round-3 phase replay)
-    e_cap = int(getattr(cfg, "bfs_frontier_edges", 0) or 1 << 18)
-    k_cap = int(getattr(cfg, "bfs_frontier_rows", 0) or e_cap)
-    e_s = min(int(getattr(cfg, "bfs_small_edges", 0) or 1 << 16), e_cap)
-    k_s = min(int(getattr(cfg, "bfs_small_rows", 0) or e_s), k_cap)
+    # push-tier ladder: ascending (rows, edges) capacities; each level
+    # runs the smallest tier that fits. Row budgets match edge budgets —
+    # phase choice belongs to EDGE counts; a row cap below the edge cap
+    # forced a 286 ms dense sweep on hub frontiers (round-3 phase
+    # replay). bfs-push-tiers overrides the edge ladder; the top tier
+    # sits near Beamer's m/alpha push->bottom-up switch for the bench
+    # graphs (4.2M at s20/ef32).
+    tiers_cfg = getattr(cfg, "bfs_push_tiers", "") or ""
+    if tiers_cfg:
+        edge_tiers = sorted({int(t) for t in str(tiers_cfg).split(",") if t})
+    else:
+        e_cap = int(getattr(cfg, "bfs_frontier_edges", 0) or 1 << 22)
+        edge_tiers = [t for t in (1 << 16, 1 << 18, 1 << 20) if t < e_cap]
+        edge_tiers += [e_cap]
+    # row budgets are capped independently of edge budgets: rows only
+    # size the ids/dedupe/scatter buffers of PUSH steps (bottom-up and
+    # dense never read ids), and a 2^22-row budget made every dedupe
+    # scatter pay 4.2M slots at ~30 ns each (round-3 A/B) — frontiers
+    # with more rows than this belong to bottom-up anyway
+    k_cap = int(getattr(cfg, "bfs_frontier_rows", 0) or 1 << 18)
+    tiers = tuple((min(k_cap, e, n), e) for e in edge_tiers)
     k_bu = int(getattr(cfg, "bfs_bu_rows", 0) or 1 << 15)
     e_bu = int(getattr(cfg, "bfs_bu_edges", 0) or 1 << 20)
     levels0 = jnp.full((n,), INT32_INF, dtype=jnp.int32)
@@ -393,10 +369,7 @@ def bfs_adaptive_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig]
         trunc_tbl,
         n,
         t_trunc,
-        k_cap,
-        e_cap,
-        k_s,
-        e_s,
+        tiers,
         k_bu,
         e_bu,
         getattr(cfg, "spmv_impl", "scan") or "scan",

@@ -1,88 +1,82 @@
-"""Pallas table-gather prototype — VMEM-resident table (VERDICT r2 #4).
+"""Pallas table-gather prototype — the VERDICT r2 #4 A/B, answered.
 
 The repo's dominant primitive is `table_gather(x, idx)` (ops/gather.py):
-XLA lowers it to a [row >> 7] row fetch from HBM plus a fused lane
-select, measured ~2.6 ns/index on v5e — i.e. ~197 GB/s of HBM row
-traffic, a quarter of the chip's HBM bandwidth, because every index
-refetches its 512 B row from HBM. For the label/rank tables of every
-Graphalytics iteration the table itself is small (n=2^20 int32 = 4 MB
-< 16 MB VMEM): a Pallas kernel can pin the WHOLE table in VMEM and pay
-HBM traffic only for the index/output streams (8 B/index), an 's64x
-reduction in HBM bytes per index.
+XLA lowers it to a [idx >> 7] row fetch from HBM plus a fused lane
+select, measured ~2.6 ns/index on v5e — ~197 GB/s of HBM row traffic
+(512 B/index), a quarter of the chip's HBM bandwidth. For the
+label/rank tables of every Graphalytics iteration the table itself is
+small (n=2^20 int32 = 4 MB < 16 MB VMEM), so the obvious below-XLA play
+is a Pallas kernel that pins the WHOLE table in VMEM and pays HBM only
+for index/output streams (8 B/index). The reference precedent for
+dropping below the library is the CUDA fork's cdlp_kernel.cu.
 
-The open question (ROADMAP round 2: "Mosaic lacks vectorized dynamic
-indexing; revisit if newer Mosaic exposes dynamic_gather") is whether
-`jnp.take(table, rows, axis=0)` vectorizes inside a kernel on this
-toolchain. This module is the A/B arm that answers it with data — the
-reference precedent for dropping below the library is the CUDA fork's
-cdlp_kernel.cu (below LAGraph). scripts/perf/measure_pallas_gather.py
-runs the comparison; GRAPHTPU_GATHER_IMPL=pallas flips ops/gather to
-this path when it wins.
+**Answer (measured on jax 0.9.0 / v5e, round 3): not expressible.**
+Mosaic's only dynamic-indexing primitive is `tpu.dynamic_gather`, and
+the lowering chain constrains it away from this use case step by step
+(scripts/perf/measure_pallas_gather.py reproduces each):
 
-Constraints of the prototype: idx flat [M] with M % BLOCK == 0 (callers
-pad), table int32/float32 [n] with n % 128 == 0 after padding, n*4 +
-block buffers within the ~16 MB VMEM budget (n <= ~3M).
+1. `jnp.take(tbl, rows, axis=0)`  → "Shape mismatch in input, indices
+   and output": only take_along_axis-shaped gathers lower (indices
+   shape == operand shape + (1,), mosaic/lowering.py gather rule).
+2. index arithmetic under the repo's x64 mode promotes to int64 →
+   "64-bit types are not supported" (fixed with jax.enable_x64(False)
+   around the kernel body).
+3. take_along_axis(mode="clip") → "Unsupported gather": only
+   FILL_OR_DROP / PROMISE_IN_BOUNDS modes lower.
+4. The [16,128]→[2048,1] index relayout (lanes→sublanes) →
+   "infer-vector-layout: unsupported shape cast"; feeding pre-shaped
+   [R,128] indices instead → **"Not implemented: Multiple source vregs
+   along gather dimension"** — `tpu.dynamic_gather` is a SINGLE-VREG
+   sublane shuffle: the gathered axis must fit one (8, 128) vreg, and
+   every lane gathers within its own column.
+
+So the hardware primitive is an 8-deep lane-aligned shuffle (useful for
+tiny lookup tables — `vreg_shuffle` below, verified correct on chip),
+not an arbitrary VMEM gather; a 2^13-row label table has 1024 source
+vregs. XLA's gather engine keeps the hot path (GRAPHTPU rates:
+gather_ns=2.6). Revisit if Mosaic grows multi-vreg dynamic_gather —
+the win on the table (labels in VMEM, 8 B/idx HBM) is bounded below by
+~64x less HBM row traffic than the XLA path.
 """
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
-BLOCK = 2048          # indices per grid step ([16, 128] tile)
-_ROWS = BLOCK // 128  # sublane count of one index block
 
-
-def _kernel(tbl_ref, idx_ref, out_ref):
-    import jax.numpy as jnp
-
-    idx = idx_ref[:]                       # [R, 128] int32
-    r = idx >> 7                           # table row of each index
-    lane = idx & 127
-    # vectorized dynamic row gather from the VMEM-resident table —
-    # the operation Mosaic historically refused to vectorize
-    rows = jnp.take(tbl_ref[:], r.reshape(-1), axis=0)  # [R*128, 128]
-    rows = rows.reshape(idx.shape + (128,))
-    sel = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 2) == lane[..., None]
-    zero = jnp.zeros((), tbl_ref.dtype)
-    out_ref[:] = jnp.sum(jnp.where(sel, rows, zero), axis=-1, dtype=tbl_ref.dtype)
-
-
-@partial(jax.jit, static_argnames=())
-def pallas_table_gather(x: jax.Array, idx: jax.Array) -> jax.Array:
-    """x[idx] with the whole table pinned in VMEM. idx int32 in [0, len(x));
-    any idx shape (flattened internally, padded to BLOCK)."""
+def vreg_shuffle(tbl8: jax.Array, ind: jax.Array) -> jax.Array:
+    """out[i, j] = tbl8[ind[i, j], j] for an 8-row table — the one
+    dynamic-gather form Mosaic supports (single source vreg, lane-aligned,
+    indices shape == table shape). Verified correct on v5e.
+    tbl8: [8, 128]; ind: [8, 128] int32 in [0, 8)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n = x.shape[0]
-    n_pad = -(-n // 128) * 128
-    if n_pad != n:
-        x = jnp.concatenate([x, jnp.zeros((n_pad - n,), x.dtype)])
-    tbl = x.reshape(n_pad // 128, 128)
+    def kern(tbl_ref, ind_ref, out_ref):
+        with jax.enable_x64(False):
+            out_ref[:] = jnp.take_along_axis(
+                tbl_ref[:], ind_ref[:].astype(jnp.int32), axis=0,
+                mode="promise_in_bounds",
+            )
 
-    shape = idx.shape
-    flat = idx.reshape(-1)
-    m = flat.shape[0]
-    m_pad = -(-m // BLOCK) * BLOCK
-    if m_pad != m:
-        flat = jnp.concatenate([flat, jnp.zeros((m_pad - m,), flat.dtype)])
-    idx2 = flat.reshape(m_pad // 128, 128)
-
-    out = pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct(idx2.shape, x.dtype),
-        grid=(m_pad // BLOCK,),
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(ind.shape, tbl8.dtype),
         in_specs=[
-            pl.BlockSpec(
-                (n_pad // 128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-    )(tbl, idx2)
-    return out.reshape(-1)[:m].reshape(shape)
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(tbl8, ind)
+
+
+def pallas_table_gather(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """The losing prototype's entry point, kept for the A/B harness.
+    Raises with the measured verdict — callers use ops.gather.table_gather."""
+    raise NotImplementedError(
+        "VMEM-resident table gather is not expressible on this toolchain: "
+        "tpu.dynamic_gather is a single-vreg (8x128) lane-aligned shuffle "
+        "('Multiple source vregs along gather dimension'). See module "
+        "docstring; XLA table_gather (~2.6 ns/idx) remains the hot path."
+    )

@@ -146,12 +146,12 @@ class PlatformConfig:
     # edges as host expansions instead of dense device steps (hybrid impl)
     bfs_active_threshold: float = 0.05
     # static frontier capacities of the single-dispatch adaptive BFS
-    bfs_frontier_rows: int = 0   # 0 = match bfs-frontier-edges (phase choice
-    #                              belongs to edge counts; round-3 replay)
-    bfs_frontier_edges: int = 1 << 18
-    bfs_small_rows: int = 0      # 0 = match bfs-small-edges
-    bfs_small_edges: int = 1 << 16  # small-tier push capacity
-    bfs_trunc: int = 0           # 0 = BFS_TRUNC (8) bottom-up probe depth
+    bfs_frontier_rows: int = 0   # 0 = row budgets match edge budgets (phase
+    #                              choice belongs to edge counts; round-3 replay)
+    bfs_frontier_edges: int = 1 << 22  # top push tier ~ Beamer's m/alpha switch
+    bfs_push_tiers: str = ""     # explicit ascending edge-capacity ladder
+    #                              (CSV); default: 2^16, 2^19, bfs-frontier-edges
+    bfs_trunc: int = 0           # 0 = BFS_TRUNC (4) bottom-up probe depth
     lcc_impl: str = "auto"    # auto|oriented|sweep
     sssp_impl: str = "auto"   # auto|adaptive|hybrid|delta|device; dense (distributed only)
     sssp_delta: float = 2.5   # delta-stepping bucket width (sssp.cpp:70-78)
@@ -231,8 +231,7 @@ _PLATFORM_PROPS = {
     "platform.graphtpu.bfs-frontier-edges": ("bfs_frontier_edges", int),
     "platform.graphtpu.bfs-bu-rows": ("bfs_bu_rows", int),
     "platform.graphtpu.bfs-bu-edges": ("bfs_bu_edges", int),
-    "platform.graphtpu.bfs-small-rows": ("bfs_small_rows", int),
-    "platform.graphtpu.bfs-small-edges": ("bfs_small_edges", int),
+    "platform.graphtpu.bfs-push-tiers": ("bfs_push_tiers", str),
     "platform.graphtpu.bfs-trunc": ("bfs_trunc", int),
     "platform.graphtpu.lcc-impl": ("lcc_impl", str),
     "platform.graphtpu.sssp-impl": ("sssp_impl", str),
