@@ -162,7 +162,7 @@ def _bfs_adaptive_kernel(
         def tier_step(s):
             levels, cnt, fe, _, level = s
             ids, _ = compact(levels == level, k)
-            exp = expand(ids, deg_pad, push_indptr, push_dst, e)
+            exp = expand(ids, deg_pad, push_indptr, push_dst, e, with_row_ids=False)
             unvisited = exp.valid & (
                 table_gather(levels, exp.neigh) == INT32_INF
             )
@@ -207,7 +207,8 @@ def _bfs_adaptive_kernel(
         rids, rcnt = compact(resid_mask, k_bu)
         fe_r = frontier_deg_sum(rids, pull_deg_pad)
         ok = (rcnt <= k_bu) & (fe_r <= e_bu)
-        exp = expand(rids, pull_deg_pad, pull_indptr, edges_src, e_bu)
+        exp = expand(rids, pull_deg_pad, pull_indptr, edges_src, e_bu,
+                     with_row_ids=False)
         rhit = (exp.valid & (table_gather(fmask_pad, exp.neigh) == 1)).astype(
             jnp.int32
         )

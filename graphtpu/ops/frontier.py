@@ -63,12 +63,20 @@ def compact(mask: jax.Array, k: int):
 
 
 def expand(ids: jax.Array, deg_pad: jax.Array, indptr_pad: jax.Array,
-           neigh: jax.Array, e_cap: int) -> Expansion:
+           neigh: jax.Array, e_cap: int, with_row_ids: bool = True) -> Expansion:
     """Concatenate the adjacency slices of `ids` into [e_cap] slots.
 
     `deg_pad`/`indptr_pad` must be [n+1]-sized with deg_pad[n] == 0 so
     the id padding value n reads as an empty slice. Edges beyond e_cap
-    are truncated — callers must pre-check `edge_count <= e_cap`."""
+    are truncated — callers must pre-check `edge_count <= e_cap`.
+
+    E-sized gathers are the cost (2.6 ns/idx): the global position is
+    computed from ONE K-sized delta table (delta[k] = indptr[ids[k]] -
+    starts[k], so gpos = delta[rows_local] + slot) instead of separate
+    starts/indptr gathers, and `with_row_ids=False` skips the vertex-id
+    gather for consumers that only need neighbors (BFS claims levels by
+    neighbor, not by owner) — 2 E-sized gathers per expansion instead
+    of the naive 4."""
     k = ids.shape[0]
     lens = table_gather(deg_pad, ids)                      # [K]
     starts = jnp.concatenate(
@@ -87,9 +95,9 @@ def expand(ids: jax.Array, deg_pad: jax.Array, indptr_pad: jax.Array,
     rows_local = jnp.clip(jax.lax.cummax(marks), 0, k - 1)  # [E]
     slot = jnp.arange(e_cap, dtype=jnp.int32)
     valid = slot < total
-    row_ids = table_gather(ids, rows_local)                # [E] vertex ids
-    offs = slot - table_gather(starts, rows_local)
-    gpos = jnp.where(valid, table_gather(indptr_pad, row_ids) + offs, 0)
+    row_ids = table_gather(ids, rows_local) if with_row_ids else None
+    delta = table_gather(indptr_pad, ids) - starts[:-1]     # [K]
+    gpos = jnp.where(valid, table_gather(delta, rows_local) + slot, 0)
     nb = table_gather(neigh, gpos)
     return Expansion(
         rows_local, row_ids, jnp.where(valid, nb, 0), gpos, starts, total, valid

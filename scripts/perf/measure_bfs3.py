@@ -44,10 +44,12 @@ def main():
     m = g.nnz
     print(f"graph ready n={g.n} nnz={m}", flush=True)
 
+    import os as _os
+
+    tset = _os.environ.get("GRAPHTPU_BFS_TRUNCS", "0")
     variants = [
-        ("default t=8", PlatformConfig()),
-        ("t=4", PlatformConfig(bfs_trunc=4)),
-        ("t=2", PlatformConfig(bfs_trunc=2)),
+        (f"t={t or 'default'}", PlatformConfig(bfs_trunc=int(t)))
+        for t in tset.split(",")
     ]
     ref = None
     for name, cfg in variants:
