@@ -355,7 +355,10 @@ def bfs_adaptive_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig]
     k_cap = int(getattr(cfg, "bfs_frontier_rows", 0) or 1 << 18)
     tiers = tuple((min(k_cap, e, n), e) for e in edge_tiers)
     k_bu = int(getattr(cfg, "bfs_bu_rows", 0) or 1 << 15)
-    e_bu = int(getattr(cfg, "bfs_bu_edges", 0) or 1 << 20)
+    # measured residuals at t=2 on s20/ef32 are ~12k edges (bfs_phases
+    # replay); 2^18 keeps 20x headroom while halving the residual
+    # engine's static cost, and overflow degrades to dense, not to wrong
+    e_bu = int(getattr(cfg, "bfs_bu_edges", 0) or 1 << 18)
     levels0 = jnp.full((n,), INT32_INF, dtype=jnp.int32)
     levels, niter = _bfs_adaptive_kernel(
         levels0,

@@ -32,14 +32,19 @@ from __future__ import annotations
 import os
 
 # measured on TPU v5e through the axon relay, round 3
+# (scripts/perf/scatter_bench.py + bfs_phases.py primitive section)
 RATES_TPU = {
     "gather_ns": 2.6,
     "scan_ns": 1.4,
-    "sort_ns": 1.9,
-    "scatter_ns": 30.0,
+    "sort_ns": 0.4,       # 0.29-0.36 ns/el measured at 2^20-2^21 int32 —
+    #                       the round-1/2 "~2 ns/el" figure was wrong
+    "scatter_ns": 4.3,    # scatter-min at 2^20 indices; scatter-set of
+    #                       sorted unique ids measures at noise level —
+    #                       the round-1 "30 ns/el" figure was a fused-
+    #                       context artifact, not the primitive's cost
     "hashrow_ns": 16.0,   # LCC big-table hash-row fetch (issue-rate bound,
     #                       ROADMAP round-1 measurement on the 1.07 GB table)
-    "dispatch_ms": 25.0,
+    "dispatch_ms": 26.0,  # axon relay round trip; ~0.1 ms on direct-attached
 }
 
 

@@ -128,35 +128,47 @@ def main():
     t_total = timeit(lambda: sync(bfs_adaptive_run(g, src, cfg)[0]))
     print(f"[e2e] adaptive: {t_total:.3f}s = {m/t_total/1e9:.3f} GTEPS ({it} levels)", flush=True)
 
-    # ---------------- per-level replay ----------------
-    k_cap = int(getattr(cfg, "bfs_frontier_rows", 0) or 1 << 16)
-    e_cap = int(getattr(cfg, "bfs_frontier_edges", 0) or 1 << 18)
+    # ---------------- per-level replay (tier-ladder kernel) ----------------
+    from graphtpu.algorithms.bfs import BFS_TRUNC
+
+    t_trunc = int(getattr(cfg, "bfs_trunc", 0) or BFS_TRUNC)
+    e_cap = int(getattr(cfg, "bfs_frontier_edges", 0) or 1 << 22)
+    edge_tiers = [t for t in (1 << 16, 1 << 18, 1 << 20) if t < e_cap] + [e_cap]
+    k_cap = int(getattr(cfg, "bfs_frontier_rows", 0) or 1 << 18)
+    tiers = tuple((min(k_cap, e, n), e) for e in edge_tiers)
     k_bu = int(getattr(cfg, "bfs_bu_rows", 0) or 1 << 15)
     e_bu = int(getattr(cfg, "bfs_bu_edges", 0) or 1 << 20)
-    t_trunc = BFS_TRUNC
     deg_n = deg_pad[:-1]
     pdeg_n = pull_deg_pad[:-1]
 
-    # big arrays must be jit ARGUMENTS: closure-captured device arrays
-    # embed as HLO constants and the relay rejects the oversized compile
-    # request (HTTP 413)
+    # prep must match the kernel's trunc depth
+    if t_trunc != BFS_TRUNC:
+        pass  # prep above already used default cfg -> BFS_TRUNC
+
     @jax.jit
     def status_j(levels, level, deg_n):
         fmask = levels == level
-        ids, cnt = compact(fmask, k_cap)
-        fe = jnp.sum(jnp.where(fmask, deg_n, 0), dtype=jnp.int32)
-        push_ok = (cnt <= k_cap) & (fe <= e_cap)
-        return ids, cnt, fe, push_ok
+        return jnp.sum(fmask, dtype=jnp.int32), jnp.sum(
+            jnp.where(fmask, deg_n, 0), dtype=jnp.int32
+        )
 
-    @jax.jit
-    def push_j(levels, ids, level, deg_pad, push_indptr, push_dst):
-        exp = expand(ids, deg_pad, push_indptr, push_dst, e_cap)
-        unvisited = exp.valid & (table_gather(levels, exp.neigh) == INT32_INF)
-        ids2, cnt = compact_stream(exp.neigh, unvisited, k_cap, n)
-        applied = cnt <= k_cap
-        updated = levels.at[ids2].set(level + 1, mode="drop")
-        levels = jnp.where(applied, updated, levels)
-        return levels, applied
+    def make_tier_j(i):
+        k, e = tiers[i]
+
+        @jax.jit
+        def tier_j(levels, level, deg_pad, push_indptr, push_dst):
+            deg_n = deg_pad[:-1]
+            ids, _ = compact(levels == level, k)
+            exp = expand(ids, deg_pad, push_indptr, push_dst, e, with_row_ids=False)
+            unvisited = exp.valid & (table_gather(levels, exp.neigh) == INT32_INF)
+            ids2, cnt2 = compact_stream(exp.neigh, unvisited, k, n)
+            applied = cnt2 <= k
+            updated = levels.at[ids2].set(level + 1, mode="drop")
+            return jnp.where(applied, updated, levels), applied
+
+        return tier_j
+
+    tier_js = [make_tier_j(i) for i in range(len(tiers))]
 
     @jax.jit
     def bu_j(levels, level, trunc_tbl, pdeg_n, pull_deg_pad, pull_indptr, esrc):
@@ -170,17 +182,15 @@ def main():
         rids, rcnt = compact(resid_mask, k_bu)
         fe_r = frontier_deg_sum(rids, pull_deg_pad)
         ok = (rcnt <= k_bu) & (fe_r <= e_bu)
-        exp = expand(rids, pull_deg_pad, pull_indptr, esrc, e_bu)
+        exp = expand(rids, pull_deg_pad, pull_indptr, esrc, e_bu, with_row_ids=False)
         rhit = (exp.valid & (table_gather(fmask_pad, exp.neigh) == 1)).astype(jnp.int32)
         cs = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(rhit, dtype=jnp.int32)])
         seg_hits = table_gather(cs, exp.seg_starts[1:]) - table_gather(cs, exp.seg_starts[:-1])
         claimed_ids = jnp.where(seg_hits > 0, rids, jnp.int32(n))
         updated = jnp.where(claim_trunc, level + 1, levels)
         updated = updated.at[claimed_ids].set(level + 1, mode="drop")
-        levels = jnp.where(ok, updated, levels)
-        return levels, ok, rcnt, fe_r
+        return jnp.where(ok, updated, levels), ok, rcnt, fe_r
 
-    # sub-pieces of bu to attribute its time
     @jax.jit
     def bu_trunc_only(levels, level, trunc_tbl):
         fmask_pad = jnp.concatenate(
@@ -195,48 +205,55 @@ def main():
         levels, _ = _bfs_dense_step(levels, fmask, level, esrc, edst, pull_indptr, n, impl)
         return levels
 
+    def tier_of(cnt, fe):
+        for i, (k, e) in enumerate(tiers):
+            if cnt <= k and fe <= e:
+                return i
+        return len(tiers)
+
     levels = jnp.full((n,), INT32_INF, jnp.int32).at[src].set(0)
-    level = 0
-    rows = []
-    # warm all step kernels once on level-0 state
-    _ = status_j(levels, jnp.int32(0), deg_n); sync(_[0])
-    sync(push_j(levels, _[0], jnp.int32(0), deg_pad, push_indptr, push_dst)[0])
+    # warm all kernels
+    sync(status_j(levels, jnp.int32(0), deg_n)[0])
+    for tj in tier_js:
+        sync(tj(levels, jnp.int32(0), deg_pad, push_indptr, push_dst)[0])
     sync(bu_j(levels, jnp.int32(0), trunc_tbl, pdeg_n, pull_deg_pad, pull_indptr, coo.src)[0])
     sync(bu_trunc_only(levels, jnp.int32(0), trunc_tbl))
     sync(dense_j(levels, jnp.int32(0), coo.src, coo.dst, pull_indptr)[0])
 
     levels = jnp.full((n,), INT32_INF, jnp.int32).at[src].set(0)
+    level = 0
+    tot = 0.0
     while level < n:
-        ids, cnt, fe, push_ok = status_j(levels, jnp.int32(level), deg_n)
-        cnt, fe, push_ok = int(cnt), int(fe), bool(push_ok)
+        cnt, fe = status_j(levels, jnp.int32(level), deg_n)
+        cnt, fe = int(cnt), int(fe)
         if cnt == 0:
             break
+        ti = tier_of(cnt, fe)
+        extra = ""
         t0 = time.perf_counter()
-        if push_ok:
-            new_levels, applied = push_j(levels, ids, jnp.int32(level), deg_pad, push_indptr, push_dst)
+        if ti < len(tiers):
+            new_levels, applied = tier_js[ti](levels, jnp.int32(level), deg_pad, push_indptr, push_dst)
             sync(new_levels)
             dt = time.perf_counter() - t0
-            phase = "push"
+            phase = f"tier{ti}(e=2^{tiers[ti][1].bit_length()-1})"
             ok = bool(applied)
-            extra = ""
         else:
             new_levels, ok, rcnt, fe_r = bu_j(levels, jnp.int32(level), trunc_tbl, pdeg_n, pull_deg_pad, pull_indptr, coo.src)
             sync(new_levels)
             dt = time.perf_counter() - t0
             phase = "bu"
             ok = bool(ok)
-            extra = f" resid_rows={int(rcnt)} resid_edges={int(fe_r)}"
             t0b = time.perf_counter()
             sync(bu_trunc_only(levels, jnp.int32(level), trunc_tbl))
-            extra += f" trunc_only={(time.perf_counter()-t0b-t_nop)*1e3:.1f}ms"
+            extra = f" resid_rows={int(rcnt)} resid_edges={int(fe_r)} trunc_only={(time.perf_counter()-t0b-t_nop)*1e3:.1f}ms"
         if not ok:
             t0 = time.perf_counter()
             new_levels = dense_j(levels, jnp.int32(level), coo.src, coo.dst, pull_indptr)
             sync(new_levels)
             dt = time.perf_counter() - t0
-            phase = "dense(after-abort)" if phase == "bu" else "dense"
+            phase += "->dense"
         levels = new_levels
-        rows.append((level, phase, cnt, fe, dt))
+        tot += dt - t_nop
         print(
             f"[level {level}] phase={phase} frontier={cnt} f_edges={fe} "
             f"step={(dt-t_nop)*1e3:.1f} ms{extra}",
@@ -244,15 +261,13 @@ def main():
         )
         level += 1
 
-    tot_steps = sum(r[4] - t_nop for r in rows)
+    t_status = timeit(lambda: sync(status_j(levels, jnp.int32(0), deg_n)[0]))
     print(
-        f"[replay] sum of steps (dispatch-corrected): {tot_steps*1e3:.1f} ms over "
-        f"{len(rows)} levels; single-dispatch e2e was {t_total*1e3:.1f} ms",
+        f"[replay] sum of steps (dispatch-corrected): {tot*1e3:.1f} ms; "
+        f"single-dispatch e2e was {t_total*1e3:.1f} ms; "
+        f"status {(t_status-t_nop)*1e3:.2f} ms/eval",
         flush=True,
     )
-    # status cost estimate: one compact+sum per level inside the kernel
-    t_status = timeit(lambda: sync(status_j(levels, jnp.int32(0), deg_n)[0]))
-    print(f"[prim] status (compact n + deg sum): {(t_status-t_nop)*1e3:.1f} ms/level", flush=True)
 
 
 if __name__ == "__main__":
