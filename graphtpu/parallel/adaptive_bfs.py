@@ -39,7 +39,7 @@ from graphtpu.ops.gather import table_gather
 from graphtpu.parallel.mesh import ROWS_AXIS
 from graphtpu.parallel.partition import put_sharded
 
-BFS_TRUNC = 8  # in-neighbors probed per row by the truncated bottom-up
+from graphtpu.algorithms.bfs import BFS_TRUNC  # shared probe-depth default (t=2)
 
 from graphtpu.parallel.partition import (  # noqa: E402
     EDGE_ALIGN as _EDGE_ALIGN,
@@ -72,12 +72,12 @@ def _local_csr(indptr: np.ndarray, streams, n_pad: int, r: int, d: int):
     return (l_ip, l_deg, *l_streams)
 
 
-def _build_prep(sg):
+def _build_prep(sg, t_trunc: int = BFS_TRUNC):
     """Device-resident per-shard arrays for the adaptive kernel, cached
-    on the ShardedGraph."""
-    prep = getattr(sg, "_bfs_adaptive_prep", None)
-    if prep is not None:
-        return prep
+    on the ShardedGraph per probe depth."""
+    cached = getattr(sg, "_bfs_adaptive_prep", None)
+    if cached is not None and cached[0] == t_trunc:
+        return cached[1]
     g = sg.graph
     n, n_pad, r, d = g.n, sg.n_pad, sg.rows_per_dev, sg.num_devices
     mesh = sg.mesh
@@ -96,14 +96,14 @@ def _build_prep(sg):
     # sentinel n_pad past the row's degree (frontier mask padded at n_pad)
     psrc = g.pull_arrays()[0]
     pdeg = np.diff(g.pull_indptr).astype(np.int64)
-    offs = np.arange(BFS_TRUNC, dtype=np.int64)
+    offs = np.arange(t_trunc, dtype=np.int64)
     pos = g.pull_indptr[:-1, None] + offs[None, :]
     valid = offs[None, :] < pdeg[:, None]
-    trunc = np.full((n_pad, BFS_TRUNC), n_pad, dtype=np.int32)
+    trunc = np.full((n_pad, t_trunc), n_pad, dtype=np.int32)
     trunc[:n][valid] = psrc[np.minimum(pos, max(len(psrc) - 1, 0))[valid]]
     # [n_pad, T] -> per device [T, R] flattened
     trunc_d = np.ascontiguousarray(
-        trunc.reshape(d, r, BFS_TRUNC).transpose(0, 2, 1).reshape(d, BFS_TRUNC * r)
+        trunc.reshape(d, r, t_trunc).transpose(0, 2, 1).reshape(d, t_trunc * r)
     )
 
     out_deg = np.zeros(n_pad + 1, dtype=np.int32)
@@ -115,19 +115,19 @@ def _build_prep(sg):
         "trunc": put_sharded(trunc_d, s2),
         "gdeg_pad": put_sharded(out_deg, rep),
     }
-    sg._bfs_adaptive_prep = prep
+    sg._bfs_adaptive_prep = (t_trunc, prep)
     return prep
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "mesh", "rows_per_dev", "n", "t_trunc", "k_cap", "e_cap", "k_bu", "e_bu"
+        "mesh", "rows_per_dev", "n", "t_trunc", "tiers", "k_bu", "e_bu"
     ),
 )
 def _bfs_adaptive_dist_kernel(
     push, pull, trunc, gdeg_pad, coo, source,
-    mesh, rows_per_dev, n, t_trunc, k_cap, e_cap, k_bu, e_bu,
+    mesh, rows_per_dev, n, t_trunc, tiers, k_bu, e_bu,
 ):
     n_pad = gdeg_pad.shape[0] - 1
     r = rows_per_dev
@@ -135,25 +135,32 @@ def _bfs_adaptive_dist_kernel(
 
     # ---- collective steps --------------------------------------------------
 
-    def push_block(pi, pdeg, pdst, levels, level):
-        my = jax.lax.axis_index(ROWS_AXIS) * r
-        lv_local = jax.lax.dynamic_slice(levels, (my,), (r,))
-        ids_l, _ = compact(lv_local == level, k_cap)
-        exp = expand(ids_l, pdeg[0], pi[0], pdst[0], e_cap)
-        unvis = table_gather(levels, exp.neigh) == INT32_INF
-        idx = jnp.where(exp.valid & unvis, exp.neigh, jnp.int32(n_pad))
-        claims = (
-            jnp.zeros((n_pad,), jnp.int32).at[idx].set(1, mode="drop")
-        )
-        return jax.lax.psum(claims, ROWS_AXIS)
+    def make_push_block(k_cap, e_cap):
+        def push_block(pi, pdeg, pdst, levels, level):
+            my = jax.lax.axis_index(ROWS_AXIS) * r
+            lv_local = jax.lax.dynamic_slice(levels, (my,), (r,))
+            ids_l, _ = compact(lv_local == level, k_cap)
+            exp = expand(ids_l, pdeg[0], pi[0], pdst[0], e_cap,
+                         with_row_ids=False)
+            unvis = table_gather(levels, exp.neigh) == INT32_INF
+            idx = jnp.where(exp.valid & unvis, exp.neigh, jnp.int32(n_pad))
+            claims = (
+                jnp.zeros((n_pad,), jnp.int32).at[idx].set(1, mode="drop")
+            )
+            return jax.lax.psum(claims, ROWS_AXIS)
 
-    push_step_sm = jax.shard_map(
-        push_block,
-        mesh=mesh,
-        in_specs=((P(ROWS_AXIS, None),) * 3 + (P(), P())),
-        out_specs=P(),
-        check_vma=False,
-    )
+        return jax.shard_map(
+            push_block,
+            mesh=mesh,
+            in_specs=((P(ROWS_AXIS, None),) * 3 + (P(), P())),
+            out_specs=P(),
+            check_vma=False,
+        )
+
+    # one shard_mapped push step per ladder tier — claims apply through a
+    # dense mask, so tier steps never abort on output size; tiers only
+    # bound the per-device expansion cost (round-3 single-chip design)
+    push_sms = [make_push_block(k, e) for (k, e) in tiers]
 
     def bu_block(tr, qi, qdeg, qsrc, levels, level):
         my = jax.lax.axis_index(ROWS_AXIS) * r
@@ -171,7 +178,8 @@ def _bfs_adaptive_dist_kernel(
         ok_l = (rcnt <= k_bu) & (fe_r <= e_bu)
         # global abort: the level applies only if EVERY device fits
         ok = jax.lax.psum(ok_l.astype(jnp.int32), ROWS_AXIS) == mesh.devices.size
-        exp = expand(rids, qdeg_l, qi[0], qsrc[0], e_bu)
+        exp = expand(rids, qdeg_l, qi[0], qsrc[0], e_bu,
+                     with_row_ids=False)
         rhit = (
             exp.valid & (table_gather(fmask_pad, exp.neigh) == 1)
         ).astype(jnp.int32)
@@ -213,104 +221,113 @@ def _bfs_adaptive_dist_kernel(
 
     # ---- replicated helpers ------------------------------------------------
 
+    T = len(tiers)
+    BU, DENSE = T, T + 1
+
+    def first_fit(cnt, fe):
+        ff = jnp.int32(BU)
+        for i in range(T - 1, -1, -1):
+            k_i, e_i = tiers[i]
+            ff = jnp.where((cnt <= k_i) & (fe <= e_i), jnp.int32(i), ff)
+        return ff
+
     def status(levels, level):
         fmask = levels == level
         cnt = jnp.sum(fmask, dtype=jnp.int32)
         fe = jnp.sum(jnp.where(fmask, gdeg_n, 0), dtype=jnp.int32)
-        return (cnt <= k_cap) & (fe <= e_cap), cnt > 0
+        return cnt, fe
 
-    def push_step(levels, level):
-        claims = push_step_sm(*push, levels, level)
-        # psum SUMS per-device claim masks — a vertex reached from
-        # sources on several devices carries a count > 1
-        levels = jnp.where((claims >= 1) & (levels == INT32_INF), level + 1, levels)
-        push_ok, nonempty = status(levels, level + 1)
-        return levels, push_ok, nonempty
+    # ---- phase steps: state (levels, cnt, fe, min_tier, level) -------------
 
-    def bu_step(levels, level):
+    def make_push_step(i):
+        sm = push_sms[i]
+
+        def push_step(s):
+            levels, _, _, _, level = s
+            claims = sm(*push, levels, level)
+            # psum SUMS per-device claim masks — a vertex reached from
+            # sources on several devices carries a count > 1
+            levels = jnp.where(
+                (claims >= 1) & (levels == INT32_INF), level + 1, levels
+            )
+            ncnt, nfe = status(levels, level + 1)
+            return levels, ncnt, nfe, jnp.int32(0), level + 1
+
+        return push_step
+
+    def bu_step(s):
+        levels, cnt, fe, _, level = s
         new_levels, ok = bu_step_sm(trunc, *pull, levels, level)
         levels = jnp.where(ok, new_levels, levels)
-        push_ok, nonempty = status(levels, level + 1)
-        # on abort the frontier is still the (too-big-for-push) one at
-        # `level`: force push_ok False so the DENSE phase redoes the
-        # level — the vacuous level+1 status would otherwise send the
-        # push phase a frontier it must truncate
-        push_ok = jnp.where(ok, push_ok, False)
-        nonempty = jnp.where(ok, nonempty, True)
-        return levels, push_ok, nonempty, ok
+        ncnt, nfe = status(levels, level + 1)
+        return (
+            levels,
+            jnp.where(ok, ncnt, cnt),
+            jnp.where(ok, nfe, fe),
+            jnp.where(ok, jnp.int32(0), jnp.int32(DENSE)),
+            level + jnp.where(ok, 1, 0),
+        )
 
-    def dense_step(levels, level):
+    def dense_step(s):
+        levels, _, _, _, level = s
         reached = dense_step_sm(*coo, levels, level)
-        levels = jnp.where((reached == 1) & (levels == INT32_INF), level + 1, levels)
-        push_ok, nonempty = status(levels, level + 1)
-        return levels, push_ok, nonempty
+        levels = jnp.where(
+            (reached == 1) & (levels == INT32_INF), level + 1, levels
+        )
+        ncnt, nfe = status(levels, level + 1)
+        return levels, ncnt, nfe, jnp.int32(0), level + 1
 
-    # ---- phase loops: state (levels, push_ok, bu_failed, nonempty, level) --
+    def chosen(s):
+        _, cnt, fe, min_tier, _ = s
+        return jnp.maximum(first_fit(cnt, fe), min_tier)
 
-    def push_phase(state):
-        def cond(s):
-            _, push_ok, _, nonempty, level = s
-            return nonempty & push_ok & (level < n)
+    def make_phase(idx, step):
+        def phase(state):
+            def cond(s):
+                return (s[1] > 0) & (chosen(s) == idx) & (s[4] < n)
 
-        def body(s):
-            levels, _, _, _, level = s
-            levels, push_ok, nonempty = push_step(levels, level)
-            return levels, push_ok, jnp.bool_(False), nonempty, level + 1
+            return jax.lax.while_loop(cond, step, state)
 
-        return jax.lax.while_loop(cond, body, state)
+        return phase
 
-    def bu_phase(state):
-        def cond(s):
-            _, push_ok, bu_failed, nonempty, level = s
-            return nonempty & (~push_ok) & (~bu_failed) & (level < n)
-
-        def body(s):
-            levels, _, _, _, level = s
-            levels, push_ok, nonempty, applied = bu_step(levels, level)
-            return (
-                levels, push_ok, ~applied, nonempty,
-                level + jnp.where(applied, 1, 0),
-            )
-
-        return jax.lax.while_loop(cond, body, state)
-
-    def dense_phase(state):
-        def cond(s):
-            _, push_ok, bu_failed, nonempty, level = s
-            return nonempty & (~push_ok) & bu_failed & (level < n)
-
-        def body(s):
-            levels, _, _, _, level = s
-            levels, push_ok, nonempty = dense_step(levels, level)
-            # one dense step, then let the bottom-up phase retry
-            return levels, push_ok, jnp.bool_(False), nonempty, level + 1
-
-        return jax.lax.while_loop(cond, body, state)
+    phases = [make_phase(i, make_push_step(i)) for i in range(T)]
+    phases.append(make_phase(BU, bu_step))
+    phases.append(make_phase(DENSE, dense_step))
 
     levels0 = jnp.full((n_pad,), INT32_INF, dtype=jnp.int32).at[source].set(0)
-    push_ok0, nonempty0 = status(levels0, 0)
-    state = (levels0, push_ok0, jnp.bool_(False), nonempty0, jnp.int32(0))
+    cnt0, fe0 = status(levels0, 0)
+    state = (levels0, cnt0, fe0, jnp.int32(0), jnp.int32(0))
 
     def outer_cond(s):
-        _, _, _, nonempty, level = s
-        return nonempty & (level < n)
+        return (s[1] > 0) & (s[4] < n)
 
     def outer_body(s):
-        return dense_phase(bu_phase(push_phase(s)))
+        for ph in phases:
+            s = ph(s)
+        return s
 
-    levels, _, _, _, level = jax.lax.while_loop(outer_cond, outer_body, state)
-    return levels, level
+    state = jax.lax.while_loop(outer_cond, outer_body, state)
+    return state[0], state[4]
 
 
 def bfs_adaptive_dist(sg, source_dense: int, cfg=None):
     """Distributed adaptive BFS on a ShardedGraph. Returns (levels [n]
     np.int32 with INT32_INF unreachable, iterations)."""
-    prep = _build_prep(sg)
+    t_trunc = int(getattr(cfg, "bfs_trunc", 0) or BFS_TRUNC)
+    prep = _build_prep(sg, t_trunc)
     coo = sg.pull()
+    # per-DEVICE expansion budgets — smaller than the single-chip ladder
+    # because each device expands only its own row shard
+    tiers_cfg = getattr(cfg, "bfs_push_tiers", "") or ""
+    if tiers_cfg:
+        edge_tiers = sorted({int(t) for t in str(tiers_cfg).split(",") if t})
+    else:
+        e_cap = int(getattr(cfg, "bfs_frontier_edges", 0) or 1 << 18)
+        edge_tiers = [t for t in (1 << 14, 1 << 16) if t < e_cap] + [e_cap]
     k_cap = int(getattr(cfg, "bfs_frontier_rows", 0) or 1 << 16)
-    e_cap = int(getattr(cfg, "bfs_frontier_edges", 0) or 1 << 18)
+    tiers = tuple((min(k_cap, e, sg.rows_per_dev), e) for e in edge_tiers)
     k_bu = int(getattr(cfg, "bfs_bu_rows", 0) or 1 << 15)
-    e_bu = int(getattr(cfg, "bfs_bu_edges", 0) or 1 << 20)
+    e_bu = int(getattr(cfg, "bfs_bu_edges", 0) or 1 << 18)
     levels, it = _bfs_adaptive_dist_kernel(
         prep["push"],
         prep["pull"],
@@ -321,9 +338,8 @@ def bfs_adaptive_dist(sg, source_dense: int, cfg=None):
         sg.mesh,
         sg.rows_per_dev,
         sg.n,
-        BFS_TRUNC,
-        k_cap,
-        e_cap,
+        t_trunc,
+        tiers,
         k_bu,
         e_bu,
     )

@@ -148,7 +148,9 @@ class PlatformConfig:
     # static frontier capacities of the single-dispatch adaptive BFS
     bfs_frontier_rows: int = 0   # 0 = row budgets match edge budgets (phase
     #                              choice belongs to edge counts; round-3 replay)
-    bfs_frontier_edges: int = 1 << 22  # top push tier ~ Beamer's m/alpha switch
+    bfs_frontier_edges: int = 0  # 0 = auto: single-chip 2^22 (top push tier
+    #                              ~ Beamer's m/alpha switch), distributed 2^18
+    #                              (per-device expansion budget)
     bfs_push_tiers: str = ""     # explicit ascending edge-capacity ladder
     #                              (CSV); default: 2^16, 2^19, bfs-frontier-edges
     bfs_trunc: int = 0           # 0 = BFS_TRUNC (4) bottom-up probe depth
