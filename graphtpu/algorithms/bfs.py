@@ -166,9 +166,10 @@ def _bfs_adaptive_kernel(
             unvisited = exp.valid & (
                 table_gather(levels, exp.neigh) == INT32_INF
             )
-            # dedupe BEFORE the level scatter: two stream sorts at
-            # ~2 ns/el beat an E-sized scatter at ~30 ns/el, and the
-            # scatter then only touches K slots
+            # dedupe BEFORE the level scatter (sorts at ~0.3 ns/el,
+            # scatter-min at 1.4-4.3 ns/el — scatter_bench.py): the
+            # scatter then only touches K slots, and the deduped sorted
+            # ids double as the next level's frontier
             ids2, cnt2 = compact_stream(exp.neigh, unvisited, k, n)
             # if the new frontier overflows this tier's row budget, ids2
             # is truncated and the update would be incomplete: abort
@@ -214,7 +215,7 @@ def _bfs_adaptive_kernel(
         )
         # segment-any per residual row: the expansion stream is ordered
         # by frontier slot, so a cumsum + boundary diff replaces a
-        # 30 ns/el scatter
+        # scatter-max
         cs = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(rhit, dtype=jnp.int32)]
         )
@@ -349,9 +350,8 @@ def bfs_adaptive_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig]
         edge_tiers += [e_cap]
     # row budgets are capped independently of edge budgets: rows only
     # size the ids/dedupe/scatter buffers of PUSH steps (bottom-up and
-    # dense never read ids), and a 2^22-row budget made every dedupe
-    # scatter pay 4.2M slots at ~30 ns each (round-3 A/B) — frontiers
-    # with more rows than this belong to bottom-up anyway
+    # dense never read ids) — frontiers with more rows than 2^18 belong
+    # to bottom-up anyway
     k_cap = int(getattr(cfg, "bfs_frontier_rows", 0) or 1 << 18)
     tiers = tuple((min(k_cap, e, n), e) for e in edge_tiers)
     k_bu = int(getattr(cfg, "bfs_bu_rows", 0) or 1 << 15)

@@ -108,8 +108,9 @@ def compact_stream(vals: jax.Array, active: jax.Array, k: int, n: int):
     """Unique active values of a stream → (ids [K] padded with n, count).
 
     Sort-based dedupe: two sorts of the [E] stream at ~2 ns/element,
-    versus a dense-mask scatter at ~30 ns/element — the difference that
-    makes mid-size active sets (millions of edges) worth compacting."""
+    versus a dense-mask scatter (measured 1.4-4.3 ns/element for
+    scatter-min at 2^18-2^20 indices, scripts/perf/scatter_bench.py) —
+    compaction also keeps the downstream update K-sized."""
     s = jnp.sort(jnp.where(active, vals, jnp.int32(n)))
     first = jnp.concatenate(
         [s[:1] < n, (s[1:] != s[:-1]) & (s[1:] < n)]

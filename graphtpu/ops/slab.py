@@ -146,7 +146,10 @@ class SlabPlan(NamedTuple):
     `inv_perm` maps concat(bucket rows..., heavy rows, zero-degree rows)
     back to vertex order, so per-iteration results are assembled with one
     static-permutation gather instead of per-bucket scatters (gathers are
-    ~4x cheaper than scatters on TPU per microbenchmarks).
+    measured consistently fast; round-3 microbenchmarks
+    (scripts/perf/scatter_bench.py) showed scatter-set of sorted unique
+    ids is ALSO near-free, so either assembly works — this one stays for
+    its fusion-friendly static permutation).
     """
 
     slabs: Tuple[SlabBucket, ...]

@@ -1,6 +1,12 @@
 """SSSP at bench scale: adaptive vs dense Bellman-Ford on a weighted
 directed RMAT. Run exclusively."""
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+os.environ.setdefault("GRAPHTPU_COMPILE_CACHE", "./intermediate/xla-cache")
+
 import numpy as np
 import graphtpu  # noqa: F401
 import jax.numpy as jnp
@@ -57,3 +63,22 @@ finite = np.isfinite(np.asarray(dist_d))
 same = np.allclose(np.asarray(dist_a)[finite], np.asarray(dist_d)[finite], rtol=1e-5)
 same_inf = bool((np.isinf(np.asarray(dist_a)) == ~finite).all())
 print(f"dist match: {same}  inf match: {same_inf}", flush=True)
+
+# delta-stepping A/B (VERDICT r2 #6): reference Delta=2.5 makes every
+# synth weight (0.01..1.01) light; 0.5/0.25 exercise real bucketing
+from graphtpu.algorithms.sssp import sssp_delta_run
+
+for delta in (2.5, 0.5, 0.25):
+    dcfg = PlatformConfig(sssp_delta=delta)
+    t0 = time.perf_counter()
+    dist_x, it_x = sssp_delta_run(g, src, dcfg)
+    print(f"sssp delta={delta} warmup {time.perf_counter()-t0:.1f}s (rounds={it_x})", flush=True)
+    best = float("inf")
+    for rep in range(2):
+        t0 = time.perf_counter()
+        dist_x, it_x = sssp_delta_run(g, src, dcfg)
+        best = min(best, time.perf_counter() - t0)
+    ok = np.allclose(np.asarray(dist_x)[finite], np.asarray(dist_d)[finite], rtol=1e-5)
+    print(f"sssp delta={delta}: {best:.3f} s  rounds={it_x}  match={ok}", flush=True)
+    if hasattr(g, "_sssp_delta_prep"):
+        delattr(g, "_sssp_delta_prep")
