@@ -31,6 +31,17 @@ import os
 import sys
 import time
 
+# Persistent XLA compile cache ON by default for bench runs: relay
+# compiles cost 2-5 min per kernel shape and the LCC plan compiles one
+# kernel per bucket. GRAPHTPU_COMPILE_CACHE= (empty) disables; must be
+# set before graphtpu/jax import.
+os.environ.setdefault(
+    "GRAPHTPU_COMPILE_CACHE",
+    os.path.join(
+        os.environ.get("GRAPHTPU_BENCH_CACHE", "./intermediate"), "xla-cache"
+    ),
+)
+
 import numpy as np
 
 # Reference CPU baseline (BASELINE.md): datagen-7_5-fb, 34,185,747 undirected
@@ -194,6 +205,31 @@ def _device_ping(timeout_s: float = 600.0) -> None:
         os._exit(1)
 
 
+def _free_device_state(g) -> None:
+    """Drop every device buffer memoized on the Graph between bench
+    sections (suite jobs get per-process isolation; bench runs all six in
+    one process, and on a 16 GB chip the accumulated CDLP/PR/BFS/WCC prep
+    state OOMed the LCC hash build in the round-3 cold run)."""
+    memoized = (
+        "_incidence_stream", "_bfs_adaptive_prep", "_pull_indptr_dev",
+        "_sssp_delta_prep", "_sssp_adaptive_prep", "_pull_plan_cache",
+        "_cdlp_slab_plan", "_wedge_plan", "_wcc_adaptive_prep",
+    )
+    targets = [g]
+    sym = getattr(g, "_symmetrized", None)
+    if sym is not None and sym is not g:
+        targets.append(sym)
+    for t in targets:
+        for attr in memoized:
+            if hasattr(t, attr):
+                delattr(t, attr)
+        # core caches are initialized in Graph.__init__ and read without
+        # getattr defaults — reset, don't delete
+        t._device_push = None
+        t._device_pull = None
+        t._symmetrized = None
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -249,6 +285,8 @@ def main() -> None:
     iters_done = max(int(it), 1)
     cdlp_edges_per_s = inc_nnz * iters_done / cdlp_s
     cdlp_ms_per_iter = cdlp_s * 1000.0 / iters_done
+    del prep, labels
+    _free_device_state(g)
 
     # ---------------- PageRank SpMV nnz/s (slab pull plan) ----------------
     out_deg = jnp.asarray(g.out_degree.astype(np.int32))
@@ -265,27 +303,34 @@ def main() -> None:
     _sync(_pr_slab_kernel(*pargs))
     pr_s = time.perf_counter() - t0
     pr_nnz_per_s = g.nnz * pr_iters / pr_s
+    from graphtpu.utils import roofline as rl
+
+    pr_plan_gathers = rl.plan_gather_count(plan)  # roof input survives the buffers
+    del pargs, plan
+    _free_device_state(g)
 
     # ---------------- BFS GTEPS (single-dispatch adaptive) ----------------
     from graphtpu.algorithms.bfs import bfs_adaptive_run
 
     levels, nit = bfs_adaptive_run(g, 0, cfg)
     _sync(levels)
-    t0 = time.perf_counter()
-    levels, nit = bfs_adaptive_run(g, 0, cfg)
-    _sync(levels)
-    bfs_s = time.perf_counter() - t0
+    bfs_s = float("inf")  # best-of-3: one traversal is short enough that
+    for _ in range(3):    # relay jitter would otherwise set the record
+        t0 = time.perf_counter()
+        levels, nit = bfs_adaptive_run(g, 0, cfg)
+        _sync(levels)
+        bfs_s = min(bfs_s, time.perf_counter() - t0)
     bfs_gteps = g.nnz / bfs_s / 1e9
+    del levels
+    _free_device_state(g)
 
     # ---------------- speed-of-light accounting (VERDICT r2 #3) ----------------
     # each kernel's roof = its unavoidable primitive volume at the
     # measured v5e rates (graphtpu/utils/roofline.py). >100% means the
     # kernel beats the roof model (e.g. direction-optimizing BFS touches
     # fewer than m edges) — reported, not clamped.
-    from graphtpu.utils import roofline as rl
-
     cdlp_roof = rl.roof_seconds(gathers=inc_nnz * iters_done)
-    pr_roof = rl.roof_seconds(gathers=rl.plan_gather_count(plan) * pr_iters)
+    pr_roof = rl.roof_seconds(gathers=pr_plan_gathers * pr_iters)
     bfs_roof = rl.roof_seconds(gathers=g.nnz)  # one-gather-per-edge sweep
 
     details = {
@@ -334,8 +379,10 @@ def main() -> None:
                 wcc_edges_per_s=round(g.nnz * wit / wcc_s, 1),
                 wcc_sol_pct=rl.sol_pct(wcc_s, wcc_roof),
             )
+            del labels
         except Exception as e:  # noqa: BLE001
             details["wcc_error"] = f"{type(e).__name__}: {e}"[:200]
+        _free_device_state(g)
 
     if "sssp" in sections:
         try:
@@ -370,8 +417,16 @@ def main() -> None:
                 sssp_nnz=gw.nnz,
                 sssp_sol_pct_vs_one_pass=rl.sol_pct(sssp_s, sssp_roof),
             )
+            del dist
+            _free_device_state(gw)
+            del gw
         except Exception as e:  # noqa: BLE001
             details["sssp_error"] = f"{type(e).__name__}: {e}"[:200]
+            try:
+                _free_device_state(gw)
+                del gw
+            except (NameError, UnboundLocalError):
+                pass
 
     if "lcc" in sections:
         try:

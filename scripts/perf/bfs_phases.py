@@ -137,7 +137,7 @@ def main():
     k_cap = int(getattr(cfg, "bfs_frontier_rows", 0) or 1 << 18)
     tiers = tuple((min(k_cap, e, n), e) for e in edge_tiers)
     k_bu = int(getattr(cfg, "bfs_bu_rows", 0) or 1 << 15)
-    e_bu = int(getattr(cfg, "bfs_bu_edges", 0) or 1 << 20)
+    e_bu = int(getattr(cfg, "bfs_bu_edges", 0) or 1 << 18)
     deg_n = deg_pad[:-1]
     pdeg_n = pull_deg_pad[:-1]
 

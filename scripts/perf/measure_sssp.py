@@ -30,7 +30,8 @@ if cache_mod.exists("./intermediate", gname):
     except ValueError:
         g = None
 if g is None:
-    g = rmat_graph(20, 16, directed=True, weighted=True, seed=7)
+    # same graph as bench.py's sssp section (cache name is shared)
+    g = rmat_graph(20, 16, directed=False, weighted=True, seed=42)
     cache_mod.save(g, "./intermediate", gname)
 print(f"graph ready {time.perf_counter()-t0:.1f}s: {g}", flush=True)
 cfg = PlatformConfig()
