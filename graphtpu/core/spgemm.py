@@ -109,11 +109,12 @@ def masked_spgemm(
     nb = int(b.col.shape[0])
     iters = max(1, int(np.ceil(np.log2(max(nb, 2) + 1))))
 
-    out = jnp.zeros((m,), dtype=(b.val.dtype if b.val is not None
-                                 else a.val.dtype if a.val is not None else jnp.float32))
-    ident = semiring.add.identity(out.dtype)
-    out = jnp.full((m,), ident, dtype=out.dtype)
+    dtype = (b.val.dtype if b.val is not None
+             else a.val.dtype if a.val is not None else jnp.float32)
+    ident = semiring.add.identity(dtype)
 
+    parts = []
+    sels = []
     prev = 0
     for w in _bucket_bounds(max_deg):
         sel = np.nonzero((dc > prev) & (dc <= w))[0]
@@ -122,9 +123,23 @@ def masked_spgemm(
             continue
         rows = jnp.asarray(mask_rows[sel].astype(np.int32))
         cols = jnp.asarray(mask_cols[sel].astype(np.int32))
-        vals = _spgemm_bucket(semiring, a, b, rows, cols, w, iters, ident)
-        out = out.at[jnp.asarray(sel.astype(np.int32))].set(vals)
-    return out
+        parts.append(_spgemm_bucket(semiring, a, b, rows, cols, w, iters, ident))
+        sels.append(sel)
+    if not parts:  # every mask row has deg_A == 0 -> all-identity output
+        return jnp.full((m,), ident, dtype=dtype)
+
+    # assemble by inverse-permutation GATHER, not per-bucket scatter —
+    # the repo-wide rule (ops/slab.py: gathers measured ~4x cheaper than
+    # scatters on v5e). Mask entries whose A-row is empty (deg 0) are in
+    # no bucket; they read the trailing identity slot.
+    covered = np.concatenate(sels)
+    perm = np.full(m, covered.size, dtype=np.int32)
+    perm[covered] = np.arange(covered.size, dtype=np.int32)
+    flat = jnp.concatenate(
+        [p.astype(dtype) for p in parts]
+        + [jnp.full((1,), ident, dtype=dtype)]
+    )
+    return table_gather(flat, jnp.asarray(perm))
 
 
 @partial(jax.jit, static_argnames=("w", "iters", "semiring"))
