@@ -351,17 +351,23 @@ def main() -> None:
     }
 
     # ---------------- WCC / SSSP / LCC (VERDICT r2 #5) ----------------
-    # each section is failure-isolated so a single bad kernel cannot
-    # cost the whole benchmark line; GRAPHTPU_BENCH_SECTIONS trims the
-    # set when wall-clock is short
+    # sections run under the SectionRunner (graphtpu/utils/sections.py):
+    # failure-isolated, retried once on transient relay errors, bounded
+    # by per-section watchdogs, and SSSP carries an impl fallback ladder
+    # (adaptive -> delta -> dense) so one compile error can never zero a
+    # metric again (the round-3 sssp_error). GRAPHTPU_BENCH_SECTIONS
+    # trims the set when wall-clock is short.
+    from graphtpu.utils.sections import SectionRunner
+
     sections = {
         s.strip()
         for s in os.environ.get("GRAPHTPU_BENCH_SECTIONS", "wcc,sssp,lcc").split(",")
         if s.strip()
     }
+    runner = SectionRunner(details, default_watchdog_s=600.0)
 
     if "wcc" in sections:
-        try:
+        def _wcc_section():
             from graphtpu.algorithms.wcc import wcc_adaptive_run
 
             labels, wit = wcc_adaptive_run(g, cfg)
@@ -373,25 +379,24 @@ def main() -> None:
             wit = max(int(wit), 1)
             # undirected bench graph: symmetrized == stored edges
             wcc_roof = rl.roof_seconds(gathers=g.nnz * wit)
-            details.update(
+            return dict(
                 wcc_s=round(wcc_s, 3),
                 wcc_iters=wit,
                 wcc_edges_per_s=round(g.nnz * wit / wcc_s, 1),
                 wcc_sol_pct=rl.sol_pct(wcc_s, wcc_roof),
             )
-            del labels
-        except Exception as e:  # noqa: BLE001
-            details["wcc_error"] = f"{type(e).__name__}: {e}"[:200]
+
+        out = runner.run("wcc", [("adaptive", _wcc_section)])
+        if out:
+            details.update(out)
         _free_device_state(g)
 
     if "sssp" in sections:
+        sscale = int(os.environ.get("GRAPHTPU_BENCH_SSSP_SCALE", "20"))
+        sef = int(os.environ.get("GRAPHTPU_BENCH_SSSP_EF", "16"))
+        sname = f"bench-rmat-s{sscale}-ef{sef}-w"
+        gw = None
         try:
-            from graphtpu.algorithms.sssp import sssp_adaptive_run
-
-            sscale = int(os.environ.get("GRAPHTPU_BENCH_SSSP_SCALE", "20"))
-            sef = int(os.environ.get("GRAPHTPU_BENCH_SSSP_EF", "16"))
-            sname = f"bench-rmat-s{sscale}-ef{sef}-w"
-            gw = None
             if cache_mod.exists(cache_dir, sname):
                 try:
                     gw = cache_mod.load(cache_dir, sname)
@@ -402,34 +407,60 @@ def main() -> None:
 
                 gw = _rmat(sscale, sef, directed=False, weighted=True, seed=42)
                 cache_mod.save(gw, cache_dir, sname)
-            dist, sit = sssp_adaptive_run(gw, 0, cfg)
-            t0 = time.perf_counter()
-            dist, sit = sssp_adaptive_run(gw, 0, cfg)
-            sssp_s = time.perf_counter() - t0
-            # roof: every edge relaxed once = dist gather + weight load +
-            # segment-min (the adaptive kernel's whole point is doing
-            # less; >100% expected once the changed set collapses)
-            sssp_roof = rl.roof_seconds(gathers=2 * gw.nnz, scans=gw.nnz)
-            details.update(
-                sssp_s=round(sssp_s, 3),
-                sssp_rounds=int(sit),
-                sssp_graph=f"rmat s{sscale}/ef{sef} weighted",
-                sssp_nnz=gw.nnz,
-                sssp_sol_pct_vs_one_pass=rl.sol_pct(sssp_s, sssp_roof),
+        except Exception as e:  # noqa: BLE001
+            details["sssp_error"] = f"graphgen {type(e).__name__}: {e}"[:200]
+
+        if gw is not None:
+            def _sssp_with(run_fn):
+                def thunk():
+                    dist, sit = run_fn(gw, 0, cfg)
+                    t0 = time.perf_counter()
+                    dist, sit = run_fn(gw, 0, cfg)
+                    sssp_s = time.perf_counter() - t0
+                    # roof: every edge relaxed once = dist gather + weight
+                    # load + segment-min (the adaptive kernel's whole point
+                    # is doing less; >100% expected once the changed set
+                    # collapses)
+                    sssp_roof = rl.roof_seconds(gathers=2 * gw.nnz, scans=gw.nnz)
+                    return dict(
+                        sssp_s=round(sssp_s, 3),
+                        sssp_rounds=int(sit),
+                        sssp_graph=f"rmat s{sscale}/ef{sef} weighted",
+                        sssp_nnz=gw.nnz,
+                        sssp_sol_pct_vs_one_pass=rl.sol_pct(sssp_s, sssp_roof),
+                    )
+
+                return thunk
+
+            from graphtpu.algorithms import sssp as sssp_mod
+
+            def _dense_run(gg, src, c):
+                import jax.numpy as jnp
+
+                coo = gg.device_pull(wdtype=np.float32)
+                indptr = jnp.asarray(gg.pull_indptr.astype(np.int32))
+                dist, niter = sssp_mod._sssp_kernel(
+                    coo.src, coo.dst, indptr, coo.w, jnp.int32(src), gg.n,
+                    c.spmv_impl,
+                )
+                return np.asarray(dist), int(niter)
+
+            out = runner.run(
+                "sssp",
+                [
+                    ("adaptive", _sssp_with(sssp_mod.sssp_adaptive_run)),
+                    ("delta", _sssp_with(sssp_mod.sssp_delta_run)),
+                    ("dense", _sssp_with(_dense_run)),
+                ],
+                watchdog_s=900.0,
             )
-            del dist
+            if out:
+                details.update(out)
             _free_device_state(gw)
             del gw
-        except Exception as e:  # noqa: BLE001
-            details["sssp_error"] = f"{type(e).__name__}: {e}"[:200]
-            try:
-                _free_device_state(gw)
-                del gw
-            except (NameError, UnboundLocalError):
-                pass
 
     if "lcc" in sections:
-        try:
+        def _lcc_section():
             from graphtpu.ops.triangles import lcc_oriented, prepare_wedge_plan
 
             t0 = time.perf_counter()
@@ -446,15 +477,17 @@ def main() -> None:
                 for b in plan_w.buckets
             )
             lcc_roof = probes * rl.rate("hashrow_ns") * 1e-9
-            details.update(
+            return dict(
                 lcc_s=round(lcc_s, 3),
                 lcc_prep_s=round(lcc_prep_s, 3),
                 lcc_padded_probes=int(probes),
                 lcc_sol_pct=rl.sol_pct(lcc_s, lcc_roof),
                 lcc_nonzero=int((coeff > 0).sum()),
             )
-        except Exception as e:  # noqa: BLE001
-            details["lcc_error"] = f"{type(e).__name__}: {e}"[:200]
+
+        out = runner.run("lcc", [("wedge", _lcc_section)], watchdog_s=1800.0)
+        if out:
+            details.update(out)
 
     backend = jax.devices()[0].platform
     details["backend"] = backend

@@ -39,7 +39,7 @@ from graphtpu.utils.config import AlgorithmParams, PlatformConfig
 def _bfs_kernel(edges_src, edges_dst, indptr, source, n, impl="scan"):
     """edges sorted by dst (pull orientation). Returns int32 levels with
     INT32_INF for unreachable vertices."""
-    from graphtpu.ops.gather import table_gather
+    from graphtpu.ops.gather import EDGE_STREAM_CHUNK, table_gather
     from graphtpu.ops.spmv import pull_reduce
 
     levels0 = jnp.full((n,), INT32_INF, dtype=jnp.int32).at[source].set(0)
@@ -52,7 +52,7 @@ def _bfs_kernel(edges_src, edges_dst, indptr, source, n, impl="scan"):
     def body(state):
         level, levels, frontier, _ = state
         reached = pull_reduce(
-            "max", table_gather(frontier, edges_src), edges_dst, indptr, n, jnp.int32(0), impl
+            "max", table_gather(frontier, edges_src, chunk=EDGE_STREAM_CHUNK), edges_dst, indptr, n, jnp.int32(0), impl
         )
         new_frontier = jnp.where(levels == INT32_INF, reached, 0)
         levels = jnp.where(new_frontier == 1, level + 1, levels)
@@ -69,11 +69,11 @@ def _bfs_kernel(edges_src, edges_dst, indptr, source, n, impl="scan"):
 def _bfs_dense_step(levels, frontier, level, edges_src, edges_dst, indptr, n, impl="scan"):
     """One dense level expansion (pull orientation); returns the updated
     levels and the new frontier mask."""
-    from graphtpu.ops.gather import table_gather
+    from graphtpu.ops.gather import EDGE_STREAM_CHUNK, table_gather
     from graphtpu.ops.spmv import pull_reduce
 
     reached = pull_reduce(
-        "max", table_gather(frontier, edges_src), edges_dst, indptr, n, jnp.int32(0), impl
+        "max", table_gather(frontier, edges_src, chunk=EDGE_STREAM_CHUNK), edges_dst, indptr, n, jnp.int32(0), impl
     )
     new_frontier = jnp.where(levels == INT32_INF, reached, 0)
     levels = jnp.where(new_frontier == 1, level + 1, levels)
@@ -129,7 +129,7 @@ def _bfs_adaptive_kernel(
         expand,
         frontier_deg_sum,
     )
-    from graphtpu.ops.gather import table_gather
+    from graphtpu.ops.gather import EDGE_STREAM_CHUNK, table_gather
 
     deg_n = deg_pad[:-1]
     pdeg_n = pull_deg_pad[:-1]

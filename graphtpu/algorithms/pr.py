@@ -53,7 +53,7 @@ def _pr_slab_kernel(plan, out_deg, damping, n, num_iterations):
 
 @partial(jax.jit, static_argnames=("n", "num_iterations", "impl"))
 def _pr_kernel(edges_src, edges_dst, indptr, out_deg, damping, n, num_iterations, impl="scan"):
-    from graphtpu.ops.gather import table_gather
+    from graphtpu.ops.gather import EDGE_STREAM_CHUNK, table_gather
     from graphtpu.ops.spmv import pull_reduce
 
     dtype = damping.dtype
@@ -69,7 +69,7 @@ def _pr_kernel(edges_src, edges_dst, indptr, out_deg, damping, n, num_iterations
     def body(_, r):
         contrib = r * inv_deg
         pulled = pull_reduce(
-            "sum", table_gather(contrib, edges_src), edges_dst, indptr, n, jnp.zeros((), dtype), impl
+            "sum", table_gather(contrib, edges_src, chunk=EDGE_STREAM_CHUNK), edges_dst, indptr, n, jnp.zeros((), dtype), impl
         )
         dangling_mass = jnp.sum(jnp.where(is_dangling, r, 0.0))
         return teleport + damping * (pulled + dangling_mass * inv_n)

@@ -36,7 +36,7 @@ from graphtpu.utils.config import AlgorithmParams, PlatformConfig
 
 @partial(jax.jit, static_argnames=("n", "impl"))
 def _sssp_kernel(edges_src, edges_dst, indptr, edges_w, source, n, impl="scan"):
-    from graphtpu.ops.gather import table_gather
+    from graphtpu.ops.gather import EDGE_STREAM_CHUNK, table_gather
     from graphtpu.ops.spmv import pull_reduce
 
     dtype = edges_w.dtype
@@ -50,7 +50,8 @@ def _sssp_kernel(edges_src, edges_dst, indptr, edges_w, source, n, impl="scan"):
     def body(state):
         dist, _, it = state
         relaxed = pull_reduce(
-            "min", table_gather(dist, edges_src) + edges_w, edges_dst, indptr, n, inf, impl
+            "min", table_gather(dist, edges_src, chunk=EDGE_STREAM_CHUNK) + edges_w,
+        edges_dst, indptr, n, inf, impl
         )
         new = jnp.minimum(dist, relaxed)
         changed = jnp.any(new < dist)
@@ -64,12 +65,13 @@ def _sssp_kernel(edges_src, edges_dst, indptr, edges_w, source, n, impl="scan"):
 def _sssp_dense_step(dist, edges_src, edges_dst, indptr, edges_w, n, impl="scan"):
     """One synchronous relaxation of every edge; returns (new dist,
     changed mask)."""
-    from graphtpu.ops.gather import table_gather
+    from graphtpu.ops.gather import EDGE_STREAM_CHUNK, table_gather
     from graphtpu.ops.spmv import pull_reduce
 
     inf = jnp.asarray(jnp.inf, dist.dtype)
     relaxed = pull_reduce(
-        "min", table_gather(dist, edges_src) + edges_w, edges_dst, indptr, n, inf, impl
+        "min", table_gather(dist, edges_src, chunk=EDGE_STREAM_CHUNK) + edges_w,
+        edges_dst, indptr, n, inf, impl
     )
     new = jnp.minimum(dist, relaxed)
     return new, new < dist

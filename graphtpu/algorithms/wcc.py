@@ -33,7 +33,7 @@ from graphtpu.utils.config import AlgorithmParams, PlatformConfig
 
 @partial(jax.jit, static_argnames=("n", "impl"))
 def _wcc_kernel(edges_src, edges_dst, indptr, n, impl="scan"):
-    from graphtpu.ops.gather import table_gather
+    from graphtpu.ops.gather import EDGE_STREAM_CHUNK, table_gather
     from graphtpu.ops.spmv import pull_reduce
 
     labels0 = jnp.arange(n, dtype=jnp.int32)
@@ -45,7 +45,7 @@ def _wcc_kernel(edges_src, edges_dst, indptr, n, impl="scan"):
     def body(state):
         labels, _, it = state
         neigh_min = pull_reduce(
-            "min", table_gather(labels, edges_src), edges_dst, indptr, n, INT32_INF, impl
+            "min", table_gather(labels, edges_src, chunk=EDGE_STREAM_CHUNK), edges_dst, indptr, n, INT32_INF, impl
         )
         new = jnp.minimum(labels, neigh_min)
         # pointer jumping: representative chains compress to their minimum
@@ -75,7 +75,7 @@ def _wcc_adaptive_kernel(edges_src, edges_dst, indptr, deg_pad, n,
     next frontier. The fixed point (min label per component) is
     unchanged — the tail just takes a few more (cheap) iterations."""
     from graphtpu.ops.frontier import compact, compact_stream, expand, frontier_deg_sum
-    from graphtpu.ops.gather import table_gather
+    from graphtpu.ops.gather import EDGE_STREAM_CHUNK, table_gather
     from graphtpu.ops.scan_reduce import seg_min_scan
     from graphtpu.ops.spmv import pull_reduce
 
@@ -96,7 +96,7 @@ def _wcc_adaptive_kernel(edges_src, edges_dst, indptr, deg_pad, n,
 
     def full_step(labels):
         neigh_min = pull_reduce(
-            "min", table_gather(labels, edges_src), edges_dst, indptr, n,
+            "min", table_gather(labels, edges_src, chunk=EDGE_STREAM_CHUNK), edges_dst, indptr, n,
             INT32_INF, impl,
         )
         new = jnp.minimum(labels, neigh_min)

@@ -56,9 +56,9 @@ def spmv(
     Pass push-ordered edges with src/dst swapped for the out-neighbor
     product.
     """
-    from graphtpu.ops.gather import table_gather
+    from graphtpu.ops.gather import EDGE_STREAM_CHUNK, table_gather
 
-    terms = semiring.mul(edges_w, table_gather(x, edges_src))
+    terms = semiring.mul(edges_w, table_gather(x, edges_src, chunk=EDGE_STREAM_CHUNK))
     return segment_reduce(
         semiring.add, terms, edges_dst, num_segments, indices_are_sorted=sorted_by_dst
     )
@@ -80,7 +80,7 @@ def assign(vec: jax.Array, idx: jax.Array, vals, mask: jax.Array = None) -> jax.
 
 def extract(vec: jax.Array, idx: jax.Array) -> jax.Array:
     """GrB_Vector_extract: vec[idx] through the fast table gather."""
-    from graphtpu.ops.gather import table_gather
+    from graphtpu.ops.gather import EDGE_STREAM_CHUNK, table_gather
 
     return table_gather(vec, idx)
 

@@ -104,7 +104,7 @@ def build_edge_hash(
 @partial(jax.jit, static_argnames=("rows",))
 def _build_kernel(keys, payload, rows):
     """Device-side table construction: hash, stable sort by row, in-row
-    rank via run-length scan, one scatter. ~2 ns/el sort + ~30 ns/el
+    rank via run-length scan, one scatter. ~0.4 ns/el sort + ~4.3 ns/el
     scatter replace the host argsort + fancy-index stores that dominated
     wedge-plan prep (~2 min at 29M keys on this box's single core)."""
     m = keys.shape[0]
@@ -178,7 +178,7 @@ def _probe_lanes_sorted(eh: EdgeHash, klo: jax.Array, khi: jax.Array):
     """_probe_lanes with the row gather issued in SORTED row order: the
     big-table random row fetch is issue-rate bound (~16 ns/row at 1 GB);
     consecutive fetches of neighboring rows may stream much closer to the
-    small-table rate (~7 ns). Costs two multi-operand sorts (~2 ns/el
+    small-table rate (~7 ns). Costs two multi-operand sorts (~0.4 ns/el
     each) bracketing the gather — worth it only if locality buys more
     than ~4 ns/probe; keep it behind the GRAPHTPU_LCC_PROBE A/B knob."""
     b = int(eh.rows).bit_length() - 1
@@ -201,7 +201,8 @@ def _probe_lanes_sorted(eh: EdgeHash, klo: jax.Array, khi: jax.Array):
     payload_s = jnp.sum(
         jnp.where(match, odd_lanes & _PAYLOAD_MASK, 0), axis=-1, dtype=jnp.int32
     )
-    # un-permute with a second sort (a scatter would cost ~30 ns/el)
+    # un-permute with a second sort (cheaper than a ~4.3 ns/el scatter
+    # of unsorted indices at this width)
     _, found, payload = jax.lax.sort(
         (idx_s, found_s.astype(jnp.int32), payload_s), num_keys=1
     )

@@ -51,7 +51,8 @@ def compact(mask: jax.Array, k: int):
     Sort-based: jnp.nonzero(size=...) lowers through a variadic
     reduce-window prefix pass that blows the TPU's scoped-vmem budget
     when fused into a large loop body; a masked full sort + static slice
-    lowers cleanly and costs ~2 ns/element."""
+    lowers cleanly at the measured sort rate (roofline.RATES_TPU sort_ns,
+    ~0.4 ns/element)."""
     n = mask.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     ids = jnp.sort(jnp.where(mask, idx, jnp.int32(n)))
@@ -107,7 +108,8 @@ def expand(ids: jax.Array, deg_pad: jax.Array, indptr_pad: jax.Array,
 def compact_stream(vals: jax.Array, active: jax.Array, k: int, n: int):
     """Unique active values of a stream → (ids [K] padded with n, count).
 
-    Sort-based dedupe: two sorts of the [E] stream at ~2 ns/element,
+    Sort-based dedupe: two sorts of the [E] stream (roofline sort_ns,
+    ~0.4 ns/element),
     versus a dense-mask scatter (measured 1.4-4.3 ns/element for
     scatter-min at 2^18-2^20 indices, scripts/perf/scatter_bench.py) —
     compaction also keeps the downstream update K-sized."""

@@ -76,8 +76,25 @@ def _gather_block(x2d: jax.Array, idx: jax.Array, dtype) -> jax.Array:
     return jnp.sum(jnp.where(sel, rows, zero), axis=-1, dtype=dtype)
 
 
-def table_gather(x: jax.Array, idx: jax.Array) -> jax.Array:
-    """Equivalent to x[idx] (idx int32 in [0, len(x))), ~3x faster on TPU."""
+# Chunk size forced at full-edge-stream call sites inside nested
+# while_loops (dense sweeps of the adaptive kernels). There XLA's remat
+# can MATERIALIZE the [idx, 128] row-fetch intermediate instead of fusing
+# it: a 31.4M-edge stream sat just under the 2^25 auto-chunk threshold
+# and allocated a 14.97 GB f32[31400984,128] HLO temp — the round-3
+# driver-bench SSSP compile OOM (BENCH_r03.json sssp_error). 4M chunks
+# bound the worst-case temp to 2 GB. Kept separate from the global
+# threshold because lowering that costs PR ~9% on the chip (374 -> 339
+# Mnnz/s measured at s20/ef32) on slab gathers that do fuse.
+EDGE_STREAM_CHUNK = _CHUNK
+
+
+def table_gather(x: jax.Array, idx: jax.Array, *, chunk: int | None = None) -> jax.Array:
+    """Equivalent to x[idx] (idx int32 in [0, len(x))), ~3x faster on TPU.
+
+    `chunk` forces chunked evaluation above that many indices (callers
+    whose gather sits where XLA may materialize the [idx, W] row-fetch
+    intermediate pass EDGE_STREAM_CHUNK); None uses the global
+    threshold/size knobs."""
     _resolve_w()
     n = x.shape[0]
     n_pad = -(-n // _W) * _W
@@ -86,7 +103,9 @@ def table_gather(x: jax.Array, idx: jax.Array) -> jax.Array:
     x2d = x.reshape(n_pad // _W, _W)
 
     total = idx.size
-    if total <= _CHUNK_THRESHOLD:
+    limit = _CHUNK_THRESHOLD if chunk is None else chunk
+    step = _CHUNK if chunk is None else chunk
+    if total <= limit:
         # flatten: gathers on >=2-D index arrays with small minor dims hit
         # lane-padded tiles; the flat form fuses cleanly
         return _gather_block(x2d, idx.reshape(-1), x.dtype).reshape(idx.shape)
@@ -95,7 +114,7 @@ def table_gather(x: jax.Array, idx: jax.Array) -> jax.Array:
     # was measured 3-5x slower than the fused direct gather)
     flat = idx.reshape(-1)
     outs = []
-    for start in range(0, total, _CHUNK):
-        end = min(start + _CHUNK, total)
+    for start in range(0, total, step):
+        end = min(start + step, total)
         outs.append(_gather_block(x2d, flat[start:end], x.dtype))
     return jnp.concatenate(outs).reshape(idx.shape)

@@ -7,7 +7,7 @@ neighbor label" are a global merge-sort + run-length scan on CPU
 TPU: global sorts are expensive and hash probing is scalar.
 
 TPU formulation, shaped by measured v5e primitive costs (gather ~7 ns/el,
-scatter ~30 ns/el, row-wise bitonic sort ~0.1 ns/el, prefix scans
+scatter ~4.3 ns/el, row-wise bitonic sort ~0.1 ns/el, prefix scans
 ~1.4 ns/el):
 
 * rows bucketed by degree into padded-ELL slabs (graphtpu/ops/slab.py,

@@ -106,7 +106,7 @@ class WedgePlan(NamedTuple):
 
 @partial(jax.jit, static_argnames=("id_bits",))
 def _orient_sort_kernel(eu, ev, mult, rank, id_bits):
-    """Rank gathers + orientation + one pair sort on device (~2 ns/el) —
+    """Rank gathers + orientation + one pair sort on device (~0.4 ns/el) —
     replaces the host argsort that cost minutes at graph scale. Sorts by
     TWO int32 keys instead of one packed int64 key: TPUs emulate s64 as
     s32 pairs, so the packed-key variadic sort doubled both the compare
@@ -231,7 +231,7 @@ def prepare_wedge_plan(graph, cache_dir=None) -> WedgePlan:
     """Wedge-plan prep: symmetrize + dedupe with stored-direction
     multiplicity (host — the input stream is nearly sorted so the linear
     passes dominate), then rank-relabel, orient, sort, hash-build, slab
-    fill, and head-sort ALL ON DEVICE (sorts ~2 ns/el vs minutes of
+    fill, and head-sort ALL ON DEVICE (sorts ~0.4 ns/el vs minutes of
     single-core numpy argsort at graph scale). With `cache_dir`, the
     oriented edge list is persisted per graph and restored on repeat
     runs (ingest skip-if-exists contract)."""
@@ -443,7 +443,7 @@ def _wedge_chunk_pairs(sub, msub, ehash, id_bits, pairs, sort_probes=False):
     only — the square probes both (i,j) and (j,i) and masks one). The
     per-leg credit sums need pair axes grouped by leg; rather than W
     ragged segment reductions, per-pair contributions are scattered back
-    to the [W, W, Rc] square with ONE static take (a ~2 ns/el memory
+    to the [W, W, Rc] square with ONE static take (a cheap linear-rate
     copy vs ~16 ns/el table probes) and summed along an axis."""
     ii, jj, sq = pairs
     w, rc = sub.shape

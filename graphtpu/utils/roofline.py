@@ -3,17 +3,20 @@
 The north star requires every benchmarked kernel to report utilization
 against its own roof. On this memory-bound workload the roof of every
 kernel is set by a handful of primitive rates, measured on the real
-v5e chip by scripts/perf/bfs_phases.py (round 3, RMAT s20/ef32 shapes):
+v5e chip (RATES_TPU below is the single source of truth; the dict's
+inline comments carry the measurement provenance — sort and scatter
+were re-measured in round 3 after the round-1 figures proved to be
+fused-context artifacts):
 
-    table_gather        ~2.6 ns/index   (W=128 row-gather + lane select;
-                                         the dominating primitive of every
-                                         message-passing iteration)
-    packed-scan reduce  ~1.4 ns/element (ops/scan_reduce.py; ROADMAP)
-    sort                ~1.9 ns/element
-    scatter             ~30 ns/element  (why the repo assembles by
-                                         inverse-permutation gather)
-    dispatch+sync       ~25 ms          (axon relay round trip; excluded
-                                         from single-dispatch kernels)
+    table_gather        gather_ns   (W=128 row-gather + lane select; the
+                                     dominating primitive of every
+                                     message-passing iteration)
+    packed-scan reduce  scan_ns     (ops/scan_reduce.py)
+    sort                sort_ns
+    scatter             scatter_ns
+    LCC hash-row fetch  hashrow_ns
+    dispatch+sync       dispatch_ms (axon relay round trip; excluded
+                                     from single-dispatch kernels)
 
 A kernel's roof is its unavoidable index-touch count times the gather
 rate (plus scan volume where a segment reduce follows). `sol_pct` is
