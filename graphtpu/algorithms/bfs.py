@@ -160,7 +160,8 @@ def _bfs_adaptive_kernel(
         k, e = tiers[i]
 
         def tier_step(s):
-            levels, cnt, fe, _, level = s
+            levels, cnt, fe, _, level, counts = s
+            counts = counts.at[i].add(1)
             ids, _ = compact(levels == level, k)
             exp = expand(ids, deg_pad, push_indptr, push_dst, e, with_row_ids=False)
             unvisited = exp.valid & (
@@ -184,6 +185,7 @@ def _bfs_adaptive_kernel(
                 jnp.where(applied, fe2, fe),
                 jnp.where(applied, jnp.int32(0), jnp.int32(i + 1)),
                 level + jnp.where(applied, 1, 0),
+                counts,
             )
 
         return tier_step
@@ -195,7 +197,8 @@ def _bfs_adaptive_kernel(
         in-edge lists checked through the frontier engine. Aborts
         (levels unchanged, level not counted) when that residual
         overflows k_bu/e_bu — the dense phase then redoes the level."""
-        levels, cnt, fe, _, level = s
+        levels, cnt, fe, _, level, counts = s
+        counts = counts.at[BU].add(1)
         fmask_pad = jnp.concatenate(
             [(levels == level).astype(jnp.int32), jnp.zeros((1,), jnp.int32)]
         )
@@ -233,21 +236,23 @@ def _bfs_adaptive_kernel(
             jnp.where(ok, nfe, fe),
             jnp.where(ok, jnp.int32(0), jnp.int32(DENSE)),
             level + jnp.where(ok, 1, 0),
+            counts,
         )
 
     def dense_step(s):
         # the frontier IS the set of vertices at the current level — no
         # mask state has to survive across phases
-        levels, _, _, _, level = s
+        levels, _, _, _, level, counts = s
+        counts = counts.at[DENSE].add(1)
         fmask = (levels == level).astype(jnp.int32)
         levels, _ = _bfs_dense_step(
             levels, fmask, level, edges_src, edges_dst, pull_indptr, n, impl,
         )
         ncnt, nfe = status(levels, level + 1)
-        return levels, ncnt, nfe, jnp.int32(0), level + 1
+        return levels, ncnt, nfe, jnp.int32(0), level + 1, counts
 
     def chosen(s):
-        _, cnt, fe, min_tier, _ = s
+        _, cnt, fe, min_tier, _, _ = s
         return jnp.maximum(first_fit(cnt, fe), min_tier)
 
     def make_phase(idx, step):
@@ -265,7 +270,11 @@ def _bfs_adaptive_kernel(
 
     levels0 = levels0.at[frontier0_id].set(0)
     cnt0, fe0 = status(levels0, 0)
-    state = (levels0, cnt0, fe0, jnp.int32(0), jnp.int32(0))
+    # per-phase step counters [T tiers..., BU, DENSE] for executed-volume
+    # rooflines (VERDICT r3 #3): aborted attempts count too — their work
+    # is paid
+    state = (levels0, cnt0, fe0, jnp.int32(0), jnp.int32(0),
+             jnp.zeros((T + 2,), jnp.int32))
 
     def outer_cond(s):
         return (s[1] > 0) & (s[4] < n)
@@ -276,7 +285,7 @@ def _bfs_adaptive_kernel(
         return s
 
     state = jax.lax.while_loop(outer_cond, outer_body, state)
-    return state[0], state[4]
+    return state[0], state[4], state[5]
 
 
 # default in-neighbors probed per row by the truncated bottom-up.
@@ -324,10 +333,13 @@ def bfs_adaptive_prep(graph: Graph, t_trunc: int = BFS_TRUNC):
     return cache[1:]
 
 
-def bfs_adaptive_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig] = None):
+def bfs_adaptive_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig] = None,
+                     with_stats: bool = False):
     """Entry point for the single-dispatch adaptive BFS. Returns
     (levels int32 DEVICE array with INT32_INF unreachable, iterations) —
-    levels stay on device so callers control when to pay the D2H copy."""
+    levels stay on device so callers control when to pay the D2H copy.
+    With `with_stats`, also returns per-phase step counters (tier/
+    bottom-up/dense) for executed-volume roofline accounting."""
     n = graph.n
     t_trunc = int(getattr(cfg, "bfs_trunc", 0) or BFS_TRUNC)
     (
@@ -360,7 +372,7 @@ def bfs_adaptive_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig]
     # engine's static cost, and overflow degrades to dense, not to wrong
     e_bu = int(getattr(cfg, "bfs_bu_edges", 0) or 1 << 18)
     levels0 = jnp.full((n,), INT32_INF, dtype=jnp.int32)
-    levels, niter = _bfs_adaptive_kernel(
+    levels, niter, counts = _bfs_adaptive_kernel(
         levels0,
         jnp.int32(src_dense),
         coo.src,
@@ -378,6 +390,18 @@ def bfs_adaptive_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig]
         e_bu,
         getattr(cfg, "spmv_impl", "scan") or "scan",
     )
+    if with_stats:
+        c = np.asarray(counts)
+        stats = {
+            "tier_steps": {int(e): int(c[i]) for i, (_, e) in enumerate(tiers)},
+            "tiers": [(int(k), int(e)) for k, e in tiers],
+            "bu_steps": int(c[len(tiers)]),
+            "dense_steps": int(c[len(tiers) + 1]),
+            "t_trunc": t_trunc,
+            "k_bu": k_bu,
+            "e_bu": e_bu,
+        }
+        return levels, int(niter), stats
     return levels, int(niter)
 
 

@@ -118,41 +118,41 @@ def _sssp_adaptive_kernel(
 
     def full_phase(state):
         def cond(s):
-            _, _, ok, nonempty, it = s
+            _, _, ok, nonempty, it, _ = s
             return nonempty & (~ok) & (it < n)
 
         def body(s):
-            dist, _, _, _, it = s
+            dist, _, _, _, it, nf = s
             new, ids, ok, nonempty = full_step(dist)
-            return new, ids, ok, nonempty, it + 1
+            return new, ids, ok, nonempty, it + 1, nf + 1
 
         return jax.lax.while_loop(cond, body, state)
 
     def active_phase(state):
         def cond(s):
-            _, _, ok, nonempty, it = s
+            _, _, ok, nonempty, it, _ = s
             return nonempty & ok & (it < n)
 
         def body(s):
-            dist, ids, _, _, it = s
+            dist, ids, _, _, it, nf = s
             new, ids2, ok, nonempty = active_step(dist, ids)
-            return new, ids2, ok, nonempty, it + 1
+            return new, ids2, ok, nonempty, it + 1, nf
 
         return jax.lax.while_loop(cond, body, state)
 
     fmask0 = jnp.zeros((n,), bool).at[src].set(True)
     ids0, ok0, nonempty0 = derive(fmask0)
-    state = (dist0, ids0, ok0, nonempty0, jnp.int32(0))
+    state = (dist0, ids0, ok0, nonempty0, jnp.int32(0), jnp.int32(0))
 
     def outer_cond(s):
-        _, _, _, nonempty, it = s
+        _, _, _, nonempty, it, _ = s
         return nonempty & (it < n)
 
     def outer_body(s):
         return full_phase(active_phase(s))
 
-    dist, _, _, _, it = jax.lax.while_loop(outer_cond, outer_body, state)
-    return dist, it
+    dist, _, _, _, it, nf = jax.lax.while_loop(outer_cond, outer_body, state)
+    return dist, it, nf
 
 
 @partial(jax.jit, static_argnames=("n", "k_cap", "e_cap", "impl"))
@@ -408,8 +408,11 @@ def sssp_adaptive_prep(graph: Graph, dtype=np.float32):
     return cache[1:]
 
 
-def sssp_adaptive_run(graph: Graph, src_dense: int, cfg=None, dtype=np.float32):
-    """Entry point for the single-dispatch adaptive SSSP."""
+def sssp_adaptive_run(graph: Graph, src_dense: int, cfg=None, dtype=np.float32,
+                      with_stats: bool = False):
+    """Entry point for the single-dispatch adaptive SSSP. With
+    `with_stats`, also returns phase counters for executed-volume
+    roofline accounting."""
     n = graph.n
     coo, pull_indptr, deg_pad, push_indptr, push_dst, push_w = sssp_adaptive_prep(
         graph, dtype
@@ -417,7 +420,7 @@ def sssp_adaptive_run(graph: Graph, src_dense: int, cfg=None, dtype=np.float32):
     k_cap = int(getattr(cfg, "sssp_frontier_rows", 0) or 1 << 16)
     e_cap = int(getattr(cfg, "sssp_frontier_edges", 0) or 1 << 18)
     dist0 = jnp.full((n,), jnp.inf, dtype=dtype).at[src_dense].set(0.0)
-    dist, niter = _sssp_adaptive_kernel(
+    dist, niter, nfull = _sssp_adaptive_kernel(
         dist0,
         jnp.int32(src_dense),
         coo.src,
@@ -433,6 +436,14 @@ def sssp_adaptive_run(graph: Graph, src_dense: int, cfg=None, dtype=np.float32):
         e_cap,
         getattr(cfg, "spmv_impl", "scan") or "scan",
     )
+    if with_stats:
+        stats = {
+            "full_steps": int(nfull),
+            "active_steps": int(niter) - int(nfull),
+            "e_cap": e_cap,
+            "k_cap": k_cap,
+        }
+        return np.asarray(dist), int(niter), stats
     return np.asarray(dist), int(niter)
 
 
@@ -509,6 +520,16 @@ def sssp(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> Algorith
     dtype = float_dtype(cfg)
     src_dense = graph.dense_source(params.source_vertex)
     impl = getattr(cfg, "sssp_impl", "auto")
+    # auto == adaptive, by measurement, not by assumption: the round-4
+    # TPU A/B (scripts/perf/measure_sssp.py, ROADMAP round-4 table) ran
+    # adaptive vs delta(2.5/0.5/0.25/0.1) vs dense on BOTH regimes —
+    # power-law (RMAT s20/ef16-w: adaptive 1.06 s < delta 1.21-1.57 s <
+    # dense 1.47 s) and high-diameter (512^2 torus, 560 hop rounds:
+    # dense 3.15 s < adaptive 3.74 s << delta 5.8-29.7 s, degrading as
+    # Delta shrinks). On a TPU every round costs a full static-shaped
+    # sweep, so delta-stepping's re-relaxation savings never repay its
+    # extra bucket rounds — there is NO crossover at which auto should
+    # pick it. delta stays as the reference-parity arm (sssp.cpp:70-78).
     if impl in ("auto", "adaptive"):
         dist, niter = sssp_adaptive_run(graph, src_dense, cfg, dtype)
         return AlgorithmResult(

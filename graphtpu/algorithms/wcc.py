@@ -105,6 +105,19 @@ def _wcc_adaptive_kernel(edges_src, edges_dst, indptr, deg_pad, n,
         changed_mask = new != labels
         return new, changed_mask, fits(changed_mask), jnp.any(changed_mask)
 
+    def iter0_step(labels0):
+        """Gather-free first iteration: labels are the identity, so the
+        label-at-source gather IS edges_src (the CDLP _iter0 move,
+        ops/minmode.py, applied to min-propagation)."""
+        neigh_min = pull_reduce(
+            "min", edges_src, edges_dst, indptr, n, INT32_INF, impl
+        )
+        new = jnp.minimum(labels0, neigh_min)
+        new = jnp.minimum(new, table_gather(new, new))
+        new = jnp.minimum(new, table_gather(new, new))
+        changed_mask = new != labels0
+        return new, changed_mask, fits(changed_mask), jnp.any(changed_mask)
+
     def active_step(labels, act_ids):
         exp = expand(act_ids, deg_pad, indptr, edges_src, e_cap)
         lab_at = jnp.where(
@@ -132,53 +145,60 @@ def _wcc_adaptive_kernel(edges_src, edges_dst, indptr, deg_pad, n,
 
     def full_phase(state):
         def cond(s):
-            _, _, _, ok, changed, it = s
+            _, _, _, ok, changed, it, _ = s
             return changed & (it < n) & (~ok)
 
         def body(s):
-            labels, _, ids, _, _, it = s
+            labels, _, ids, _, _, it, nf = s
             new, mask, fit, ch = full_step(labels)
-            return new, mask, ids, fit, ch, it + 1
+            return new, mask, ids, fit, ch, it + 1, nf + 1
 
         return jax.lax.while_loop(cond, body, state)
 
     def active_phase(state):
         def cond(s):
-            _, _, _, ok, changed, it = s
+            _, _, _, ok, changed, it, _ = s
             return changed & (it < n) & ok
 
         def body(s):
-            labels, mask, ids, _, _, it = s
+            labels, mask, ids, _, _, it, nf = s
             new, nids, nok, ch = active_step(labels, ids)
-            return new, mask, nids, nok, ch, it + 1
+            return new, mask, nids, nok, ch, it + 1, nf
 
         return jax.lax.while_loop(cond, body, state)
 
+    labels_init, mask0, fit0, ch0 = iter0_step(labels0)
     state = (
-        labels0,
-        jnp.zeros((n,), bool),
+        labels_init,
+        mask0,
         jnp.full((k_cap,), n, jnp.int32),
-        jnp.bool_(False),
-        jnp.bool_(True),
-        jnp.int32(0),
+        fit0,
+        ch0,
+        jnp.int32(1),
+        jnp.int32(1),  # full-step counter (executed-volume accounting)
     )
 
     def outer_cond(s):
-        _, _, _, _, changed, it = s
+        _, _, _, _, changed, it, _ = s
         return changed & (it < n)
 
     def outer_body(s):
         s = full_phase(s)
-        labels, mask, _, ok, changed, it = s
+        labels, mask, _, ok, changed, it, nf = s
         ids, ok2 = derive(mask)
-        return active_phase((labels, mask, ids, ok & ok2, changed, it))
+        return active_phase((labels, mask, ids, ok & ok2, changed, it, nf))
 
-    labels, _, _, _, _, it = jax.lax.while_loop(outer_cond, outer_body, state)
-    return labels, it
+    labels, _, _, _, _, it, nf = jax.lax.while_loop(
+        outer_cond, outer_body, state
+    )
+    return labels, it, nf
 
 
-def wcc_adaptive_run(graph: Graph, cfg=None):
-    """Entry point for the single-dispatch adaptive WCC."""
+def wcc_adaptive_run(graph: Graph, cfg=None, with_stats: bool = False):
+    """Entry point for the single-dispatch adaptive WCC. With
+    `with_stats`, also returns {"full_steps", "active_steps", "e_cap",
+    "k_cap"} for executed-volume roofline accounting (all per-phase
+    shapes are static, so phase counts fully determine executed work)."""
     sym = graph.symmetrized()
     prep = getattr(sym, "_wcc_adaptive_prep", None)
     if prep is None:
@@ -194,10 +214,18 @@ def wcc_adaptive_run(graph: Graph, cfg=None):
     coo, indptr, deg_pad = prep
     k_cap = int(getattr(cfg, "wcc_frontier_rows", 0) or 1 << 16)
     e_cap = int(getattr(cfg, "wcc_frontier_edges", 0) or 1 << 18)
-    labels, niter = _wcc_adaptive_kernel(
+    labels, niter, nfull = _wcc_adaptive_kernel(
         coo.src, coo.dst, indptr, deg_pad, sym.n, k_cap, e_cap,
         getattr(cfg, "spmv_impl", "scan") or "scan",
     )
+    if with_stats:
+        stats = {
+            "full_steps": int(nfull),
+            "active_steps": int(niter) - int(nfull),
+            "e_cap": e_cap,
+            "k_cap": k_cap,
+        }
+        return labels, int(niter), stats
     return labels, int(niter)
 
 

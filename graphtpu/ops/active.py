@@ -177,30 +177,34 @@ def _cdlp_adaptive_kernel(
         ok = (nxt_cnt <= k_cap) & (ne <= e_cap)
         return new, nxt_ids, ok, jnp.any(changed_row)
 
-    # state: (labels, changed/active mask, active ids, ok, changed, it)
+    # state: (labels, changed/active mask, active ids, ok, changed, it, nf)
+    # nf counts FULL slab steps (iteration 0 included) so executed-volume
+    # rooflines can be built from work actually done (VERDICT r3 #3):
+    # every phase's shapes are static, so (nf, it-nf) fully determine the
+    # executed primitive volume.
     def full_phase(state):
         def cond(s):
-            _, _, _, ok, changed, it = s
+            _, _, _, ok, changed, it, _ = s
             return changed & (it < itermax) & (~ok)
 
         def body(s):
-            labels, _, ids, _, _, it = s
+            labels, _, ids, _, _, it, nf = s
             new, mask, fit, ch = full_step(labels)
-            return new, mask, ids, fit, ch, it + 1
+            return new, mask, ids, fit, ch, it + 1, nf + 1
 
         return jax.lax.while_loop(cond, body, state)
 
     def active_phase(state):
         def cond(s):
-            _, _, _, ok, changed, it = s
+            _, _, _, ok, changed, it, _ = s
             return changed & (it < itermax) & ok
 
         def body(s):
-            labels, mask, ids, _, _, it = s
+            labels, mask, ids, _, _, it, nf = s
             # mask passes through untouched: it is only consumed by the
             # full->active transition, which always follows >=1 full step
             new, nids, nok, ch = active_step(labels, ids)
-            return new, mask, nids, nok, ch, it + 1
+            return new, mask, nids, nok, ch, it + 1, nf
 
         return jax.lax.while_loop(cond, body, state)
 
@@ -218,7 +222,7 @@ def _cdlp_adaptive_kernel(
         mask0 = labels_init != labels0
         state = (
             labels_init, mask0, jnp.full((k_cap,), n, jnp.int32),
-            fits(mask0), jnp.any(mask0), jnp.int32(1),
+            fits(mask0), jnp.any(mask0), jnp.int32(1), jnp.int32(1),
         )
     else:
         state = (
@@ -228,22 +232,25 @@ def _cdlp_adaptive_kernel(
             jnp.bool_(False),
             jnp.bool_(True),
             jnp.int32(0),
+            jnp.int32(0),
         )
 
     def outer_cond(s):
-        _, _, _, _, changed, it = s
+        _, _, _, _, changed, it, _ = s
         return changed & (it < itermax)
 
     def outer_body(s):
         s = full_phase(s)
-        labels, mask, _, ok, changed, it = s
+        labels, mask, _, ok, changed, it, nf = s
         # phase transition: expand the changed mask into the active set
         # (the expensive expansion runs once here, not in the loop body)
         ids, ok2 = derive(mask)
-        return active_phase((labels, mask, ids, ok & ok2, changed, it))
+        return active_phase((labels, mask, ids, ok & ok2, changed, it, nf))
 
-    labels, _, _, _, _, it = jax.lax.while_loop(outer_cond, outer_body, state)
-    return labels, it
+    labels, _, _, _, _, it, nf = jax.lax.while_loop(
+        outer_cond, outer_body, state
+    )
+    return labels, it, nf
 
 
 class AdaptivePrep(NamedTuple):
@@ -276,15 +283,18 @@ def prepare_cdlp_adaptive(graph, centers, neigh, deg, cfg=None) -> AdaptivePrep:
 
 
 def cdlp_adaptive_device_run(graph, centers, neigh, deg, itermax, cfg=None,
-                             prep: AdaptivePrep | None = None):
-    """Entry point for the single-dispatch device-side adaptive kernel."""
+                             prep: AdaptivePrep | None = None,
+                             with_stats: bool = False):
+    """Entry point for the single-dispatch device-side adaptive kernel.
+    With `with_stats`, also returns phase counters for executed-volume
+    roofline accounting."""
     if prep is None:
         prep = prepare_cdlp_adaptive(graph, centers, neigh, deg, cfg)
     n = graph.n
     k_cap = int(getattr(cfg, "cdlp_frontier_rows", 0) or 1 << 16)
     e_cap = int(getattr(cfg, "cdlp_frontier_edges", 0) or 1 << 18)
     labels0 = jnp.arange(n, dtype=jnp.int32)
-    labels, it = _cdlp_adaptive_kernel(
+    labels, it, nf = _cdlp_adaptive_kernel(
         prep.plan,
         prep.deg_pad,
         prep.indptr_pad,
@@ -295,6 +305,14 @@ def cdlp_adaptive_device_run(graph, centers, neigh, deg, itermax, cfg=None,
         k_cap,
         e_cap,
     )
+    if with_stats:
+        stats = {
+            "full_steps": int(nf),
+            "active_steps": int(it) - int(nf),
+            "e_cap": e_cap,
+            "k_cap": k_cap,
+        }
+        return labels, it, stats
     return labels, it
 
 

@@ -71,6 +71,75 @@ def vreg_shuffle(tbl8: jax.Array, ind: jax.Array) -> jax.Array:
     )(tbl8, ind)
 
 
+def dma_row_gather(table: jax.Array, idx: jax.Array, *, block: int = 512,
+                   slots: int = 16) -> jax.Array:
+    """out[i] = table[idx[i]] by scalar-prefetch-driven per-row DMA — the
+    SECOND Pallas formulation (VERDICT r3 #4): instead of asking Mosaic's
+    vector unit to gather (the measured dead end above), keep the table
+    in HBM and drive one 512 B async copy per index from the
+    scalar-prefetched index vector, `slots` DMAs in flight.
+
+    This is how hand-written TPU sparse kernels fetch from HBM-resident
+    tables; the question it answers is whether explicit DMA issue beats
+    XLA's gather engine for the big-table row fetch (the LCC hash-row
+    probe at ~16 ns/row, the PR slab gather at ~2.6 ns/idx). See
+    scripts/perf/dma_gather_bench.py for the measured verdict.
+
+    table: [R, 128] int32/float32 (one hardware tile row per index);
+    idx: [N] int32, N % block == 0."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = idx.shape[0]
+    assert n % block == 0, (n, block)
+
+    def kern(idx_ref, table_ref, out_ref, sems):
+        b = pl.program_id(0)
+        base = b * block
+
+        def make(i, slot):
+            return pltpu.make_async_copy(
+                table_ref.at[idx_ref[base + i]],
+                out_ref.at[i],
+                sems.at[slot],
+            )
+
+        def prime(i, _):
+            make(i, i % slots).start()
+            return _
+
+        jax.lax.fori_loop(0, min(slots, block), prime, 0)
+
+        def step(i, _):
+            # wait DMA i, then issue DMA i+slots into the freed slot
+            make(i, i % slots).wait()
+            make(i + slots, i % slots).start()
+            return _
+
+        jax.lax.fori_loop(0, max(block - slots, 0), step, 0)
+
+        def drain(i, _):
+            make(i, i % slots).wait()
+            return _
+
+        jax.lax.fori_loop(max(block - slots, 0), block, drain, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (block, 128), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((slots,))],
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, 128), table.dtype),
+        grid_spec=grid_spec,
+    )(idx.astype(jnp.int32), table)
+
+
 def pallas_table_gather(x: jax.Array, idx: jax.Array) -> jax.Array:
     """The losing prototype's entry point, kept for the A/B harness.
     Raises with the measured verdict — callers use ops.gather.table_gather."""

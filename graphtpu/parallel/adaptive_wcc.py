@@ -104,6 +104,24 @@ def _wcc_adaptive_dist_kernel(
         check_vma=False,
     )
 
+    def dense_block0(src, dst_local, w, valid):
+        # iteration 0 is gather-free: identity labels make the
+        # label-at-source gather the src ids themselves (the single-chip
+        # iter0_step, algorithms/wcc.py, sharded)
+        lab = jnp.where(valid[0], src[0], INT32_INF)
+        y = jax.ops.segment_min(
+            lab, dst_local[0], num_segments=r, indices_are_sorted=True
+        )
+        return jax.lax.all_gather(y, ROWS_AXIS, tiled=True)
+
+    dense0_sm = jax.shard_map(
+        dense_block0,
+        mesh=mesh,
+        in_specs=(P(ROWS_AXIS, None),) * 4,
+        out_specs=P(),
+        check_vma=False,
+    )
+
     def derive(changed):
         cnt = jnp.sum(changed, dtype=jnp.int32)
         ce = jnp.sum(jnp.where(changed, sdeg_n, 0), dtype=jnp.int32)
@@ -153,9 +171,13 @@ def _wcc_adaptive_dist_kernel(
 
     # padding rows keep their (unique, > any real label) identity labels
     labels0 = jnp.arange(n_pad, dtype=jnp.int32)
-    changed0 = jnp.arange(n_pad, dtype=jnp.int32) < n
+    neigh0 = dense0_sm(*coo)
+    li = jnp.minimum(labels0, neigh0)
+    li = jnp.minimum(li, table_gather(li, li))
+    li = jnp.minimum(li, table_gather(li, li))
+    changed0 = li < labels0
     ok0, nonempty0 = derive(changed0)
-    state = (labels0, changed0, ok0, nonempty0, jnp.int32(0))
+    state = (li, changed0, ok0, nonempty0, jnp.int32(1))
 
     def outer_cond(s):
         _, _, _, nonempty, it = s

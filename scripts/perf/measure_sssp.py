@@ -83,3 +83,49 @@ for delta in (2.5, 0.5, 0.25):
     print(f"sssp delta={delta}: {best:.3f} s  rounds={it_x}  match={ok}", flush=True)
     if hasattr(g, "_sssp_delta_prep"):
         delattr(g, "_sssp_delta_prep")
+
+# ---- high-diameter weighted arm (VERDICT r3 #1/#9): 512x512 torus ----
+# diameter ~512 hops; Bellman-Ford's round count tracks the hop depth of
+# the shortest-path tree, the regime delta-stepping exists for.
+from graphtpu.utils.synth import grid_graph
+
+side = int(os.environ.get("GRAPHTPU_SSSP_GRID_SIDE", "512"))
+gg = grid_graph(side, weighted=True, seed=7)
+print(f"\nhigh-diameter arm: {side}x{side} torus {gg}", flush=True)
+
+coo = gg.device_pull(wdtype=np.float32)
+indptr = jnp.asarray(gg.pull_indptr.astype(np.int32))
+dist_gd, it_gd = _sssp_kernel(coo.src, coo.dst, indptr, coo.w, jnp.int32(src), gg.n)
+sync(dist_gd)
+t0 = time.perf_counter()
+dist_gd, it_gd = _sssp_kernel(coo.src, coo.dst, indptr, coo.w, jnp.int32(src), gg.n)
+sync(dist_gd)
+dt = time.perf_counter() - t0
+print(f"grid dense   : {dt:.3f} s  rounds={int(it_gd)}", flush=True)
+finite_g = np.isfinite(np.asarray(dist_gd))
+
+t0 = time.perf_counter()
+dist_ga, it_ga = sssp_adaptive_run(gg, src, cfg)
+print(f"grid adaptive warmup {time.perf_counter()-t0:.1f}s (rounds={it_ga})", flush=True)
+best = float("inf")
+for rep in range(2):
+    t0 = time.perf_counter()
+    dist_ga, it_ga = sssp_adaptive_run(gg, src, cfg)
+    best = min(best, time.perf_counter() - t0)
+ok = np.allclose(np.asarray(dist_ga)[finite_g], np.asarray(dist_gd)[finite_g], rtol=1e-5)
+print(f"grid adaptive: {best:.3f} s  rounds={it_ga}  match={ok}", flush=True)
+
+for delta in (2.5, 0.5, 0.25, 0.1):
+    dcfg = PlatformConfig(sssp_delta=delta)
+    t0 = time.perf_counter()
+    dist_gx, it_gx = sssp_delta_run(gg, src, dcfg)
+    print(f"grid delta={delta} warmup {time.perf_counter()-t0:.1f}s (rounds={it_gx})", flush=True)
+    best = float("inf")
+    for rep in range(2):
+        t0 = time.perf_counter()
+        dist_gx, it_gx = sssp_delta_run(gg, src, dcfg)
+        best = min(best, time.perf_counter() - t0)
+    ok = np.allclose(np.asarray(dist_gx)[finite_g], np.asarray(dist_gd)[finite_g], rtol=1e-5)
+    print(f"grid delta={delta}: {best:.3f} s  rounds={it_gx}  match={ok}", flush=True)
+    if hasattr(gg, "_sssp_delta_prep"):
+        delattr(gg, "_sssp_delta_prep")

@@ -157,3 +157,32 @@ def test_delta_unreachable_and_registry():
     res = run_algorithm("sssp", g, params, cfg)
     np.testing.assert_allclose(res.values[:4], [0.0, 1.5, 3.5, 3.75], rtol=1e-6)
     assert np.isinf(res.values[4])
+
+
+def test_auto_impl_routes_to_adaptive(monkeypatch):
+    """sssp-impl=auto picks the adaptive kernel — the measured round-4
+    A/B found no regime (power-law or high-diameter) where delta or
+    dense beats it enough to justify a crossover heuristic (ROADMAP
+    round-4 table)."""
+    import numpy as np
+
+    from graphtpu.algorithms import sssp as sssp_mod
+    from graphtpu.algorithms.common import AlgorithmParams
+    from graphtpu.utils.config import PlatformConfig
+    from graphtpu.utils.synth import uniform_graph
+
+    g = uniform_graph(64, 256, directed=True, weighted=True, seed=3)
+    called = {}
+    real = sssp_mod.sssp_adaptive_run
+
+    def spy(*a, **kw):
+        called["adaptive"] = True
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sssp_mod, "sssp_adaptive_run", spy)
+    params = AlgorithmParams(source_vertex=0, weight_property="weight")
+    cfg = PlatformConfig()
+    assert getattr(cfg, "sssp_impl", "auto") in ("auto", "adaptive")
+    res = sssp_mod.sssp(g, params, cfg)
+    assert called.get("adaptive")
+    assert np.isfinite(res.values[0])

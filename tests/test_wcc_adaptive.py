@@ -24,7 +24,7 @@ def _adaptive(sym, k_cap, e_cap):
     deg_pad = jnp.asarray(
         np.concatenate([sym.in_degree, [0]]).astype(np.int32)
     )
-    labels, _ = _wcc_adaptive_kernel(
+    labels, _, _ = _wcc_adaptive_kernel(
         coo.src, coo.dst, indptr, deg_pad, sym.n, k_cap, e_cap
     )
     return np.asarray(labels)
