@@ -148,6 +148,11 @@ def build_edge_hash_device(
     table, spilled = _build_kernel(
         keys, payload.astype(jnp.int32), rows
     )
+    # overflow is ~never (P ~3e-20/row at the default fill): check the
+    # scalar count first and only pay the [m] mask D2H when nonzero —
+    # the bool mask of a 29M-key build took 11.8 s through the relay
+    if int(jnp.sum(spilled, dtype=jnp.int32)) == 0:
+        return EdgeHash(table, rows), np.zeros(m, dtype=bool)
     return EdgeHash(table, rows), np.asarray(spilled)
 
 

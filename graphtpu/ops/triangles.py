@@ -46,10 +46,21 @@ from graphtpu.core.types import INT32_INF
 from graphtpu.ops import edgehash
 from graphtpu.ops.edgehash import EdgeHash, probe_edge_hash_xy
 
-# pair-square elements per scan step. The probe's fetched tensor carries
-# a 16-slot minor axis that tile-pads to 128 lanes (8x), so the live
-# intermediate is ~128 * 8B * this — keep it a few hundred MB.
+# pair-square elements per scan step (LEGACY pairs/square kernels). The
+# probe's fetched tensor carries a 16-slot minor axis that tile-pads to
+# 128 lanes (8x), so the live intermediate is ~128 * 8B * this — keep it
+# a few hundred MB.
 _CHUNK_ELEMS = 1 << 18
+
+# rowblock kernel tiling: probes per inner scan step (pc * rc) and the
+# row-block width cap. 2^18 measured fastest at W=64 (12.4 ns/probe vs
+# 17 at 2^20, scripts/perf/lcc_probe_bench.py); rc cap 2048 bounds both
+# row padding (< rc wasted rows per bucket) and the [W, rc] credit
+# accumulators.
+import os as _os
+
+_CHUNK_PROBES = int(_os.environ.get("GRAPHTPU_LCC_CHUNK_PROBES", 1 << 18))
+_ROWBLOCK_RC_CAP = int(_os.environ.get("GRAPHTPU_LCC_RC_CAP", 1 << 11))
 
 _WEDGE_BUCKETS = (
     2, 4, 8, 16, 32, 64, 128, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096,
@@ -320,9 +331,20 @@ def prepare_wedge_plan(graph, cache_dir=None) -> WedgePlan:
         if sel.size == 0:
             continue
         r = sel.shape[0]
-        rc = max(1, _CHUNK_ELEMS // (w * w))
-        # don't let tiny buckets pad rows up to a huge chunk width
-        rc = min(rc, 1 << max(0, int(np.ceil(np.log2(max(r, 1))))))
+        n_pairs = w * (w - 1) // 2
+        # row-block width: >= 128 lanes whenever the bucket has the rows
+        # (full tiles — the rowblock kernel's whole point), sized so one
+        # inner step carries ~_CHUNK_PROBES probes for small-W buckets
+        # (few pairs -> wide blocks, fewer scan steps) but pinned near
+        # 128 for wide buckets, where bigger blocks only add row padding
+        # (a 1099-row W=625 bucket at rc=2048 padded 86%; at 128, 4.6%)
+        target = max(128, _CHUNK_PROBES // max(n_pairs, 1))
+        target = 1 << (target.bit_length() - 1)
+        rc = min(
+            _ROWBLOCK_RC_CAP,
+            target,
+            1 << max(0, int(np.ceil(np.log2(max(r, 1))))),
+        )
         r_pad = -(-r // rc) * rc
         starts = np.zeros(r_pad, dtype=np.int32)
         degs = np.zeros(r_pad, dtype=np.int32)
@@ -495,6 +517,84 @@ def _wedge_chunk(sub, msub, ehash, id_bits, sort_probes=False):
     return u_cred, x_cred + y_cred
 
 
+def _pair_list_padded(w: int, pc: int):
+    """Upper-triangle pair list padded to a multiple of `pc` with (0, 0)
+    sentinels (ii < jj fails, so they mask themselves in the kernel)."""
+    ii, jj = np.triu_indices(w, k=1)
+    p = ii.shape[0]
+    q = -(-max(p, 1) // pc)
+    ii_pad = np.zeros(q * pc, dtype=np.int32)
+    jj_pad = np.zeros(q * pc, dtype=np.int32)
+    ii_pad[:p] = ii
+    jj_pad[:p] = jj
+    return jnp.asarray(ii_pad), jnp.asarray(jj_pad)
+
+
+@partial(jax.jit, static_argnames=("id_bits", "rc", "pc", "sort_probes"))
+def _wedge_bucket_rowblock(slab, mslab, ehash, id_bits, ii_pad, jj_pad,
+                           rc, pc, sort_probes=False):
+    """Row-blocked pair-chunk wedge kernel — the round-4 fix for the
+    lane-padding collapse that cost LCC 11x (BENCH_r03 lcc_sol_pct 8.8).
+
+    The original _wedge_bucket keeps the whole W(W-1)/2 pair list per
+    chunk and shrinks the ROW axis to fit (_CHUNK_ELEMS // W^2): every
+    bucket with W >= 512 ran at Rc = 1, so each [P, Rc] probe tensor and
+    the [W, W, Rc] credit-square takes padded their minor axis 128x in
+    lanes — ~74% of the s20/ef32 padded probes executed at <1% lane
+    occupancy (measured 182 ns/probe vs the 16 ns row-fetch roof).
+
+    This kernel inverts the chunking: the ROW axis keeps >= 128 lanes
+    (rc) and the PAIR list is scanned in chunks of pc. Each inner step
+    probes [pc, rc] (full tiles), and the per-leg credits accumulate by
+    ROW-GRANULAR scatter-add (`.at[ii_c].add`) into [W, rc] — one
+    128-lane-row operation per pair, i.e. per-probe bookkeeping cost is
+    the row-op rate divided by rc. No [W, W, Rc] squares exist at any W.
+
+    Returns (u_cred [r_pad], edge_cred [W, r_pad]) — same contract as
+    _wedge_bucket."""
+    w, r_pad = slab.shape
+    t = r_pad // rc
+    q = ii_pad.shape[0] // pc
+    slab_t = slab.reshape(w, t, rc).transpose(1, 0, 2)    # [T, W, rc]
+    mslab_t = mslab.reshape(w, t, rc).transpose(1, 0, 2)
+    ii_q = ii_pad.reshape(q, pc)
+    jj_q = jj_pad.reshape(q, pc)
+
+    def row_step(_, sm):
+        sub, msub = sm                                    # [W, rc]
+
+        def pair_step(carry, iijj):
+            u_acc, x_acc, y_acc = carry
+            ii_c, jj_c = iijj                             # [pc]
+            x = jnp.take(sub, ii_c, axis=0)               # [pc, rc]
+            y = jnp.take(sub, jj_c, axis=0)
+            valid = (ii_c < jj_c)[:, None] & (y >= 0)
+            found, m_xy = probe_edge_hash_xy(
+                ehash, jnp.maximum(x, 0), jnp.maximum(y, 0), id_bits,
+                sort_probes,
+            )
+            hit = found & valid
+            u_acc = u_acc + jnp.sum(
+                jnp.where(hit, m_xy, 0), axis=0, dtype=jnp.int32
+            )
+            mi = jnp.take(msub, ii_c, axis=0)
+            mj = jnp.take(msub, jj_c, axis=0)
+            x_acc = x_acc.at[ii_c].add(jnp.where(hit, mj, 0))
+            y_acc = y_acc.at[jj_c].add(jnp.where(hit, mi, 0))
+            return (u_acc, x_acc, y_acc), None
+
+        init = (
+            jnp.zeros((rc,), jnp.int32),
+            jnp.zeros((w, rc), jnp.int32),
+            jnp.zeros((w, rc), jnp.int32),
+        )
+        (u, xc, yc), _ = jax.lax.scan(pair_step, init, (ii_q, jj_q))
+        return None, (u, xc + yc)
+
+    _, (u_all, e_all) = jax.lax.scan(row_step, None, (slab_t, mslab_t))
+    return u_all.reshape(r_pad), e_all.transpose(1, 0, 2).reshape(w, r_pad)
+
+
 @partial(jax.jit, static_argnames=())
 def _aggregate_heads(edge_cred_flat, edge_pos, head_perm, head_indptr):
     """Gather real slab-entry credits in head order, segment-sum.
@@ -532,12 +632,14 @@ def lcc_oriented_numerator(plan: WedgePlan, progress: bool = False) -> np.ndarra
     n = plan.n
     numerator_ranked = np.zeros(n, dtype=np.int64)
     edge_cred_parts = []
-    # upper-triangle pair-list probing by default (half the table
-    # gathers); GRAPHTPU_LCC_PROBE=square keeps the full-square variant,
-    # "pairs-sorted"/"square-sorted" issue row gathers in sorted order
+    # row-blocked pair-chunk probing by default (full-lane tiles at every
+    # bucket width — _wedge_bucket_rowblock); GRAPHTPU_LCC_PROBE=
+    # pairs/square select the legacy whole-pair-list kernels,
+    # "*-sorted" issues row gathers in sorted order
     # (edgehash._probe_lanes_sorted locality A/B)
-    probe_mode = _os.environ.get("GRAPHTPU_LCC_PROBE", "pairs")
-    use_pairs = not probe_mode.startswith("square")
+    probe_mode = _os.environ.get("GRAPHTPU_LCC_PROBE", "rowblock")
+    use_rowblock = probe_mode.startswith("rowblock")
+    use_pairs = probe_mode.startswith("pairs")
     sort_probes = probe_mode.endswith("-sorted")
     pair_cache: dict = {}
     # cap the pair count per dispatch: a single compiled call that runs
@@ -545,27 +647,45 @@ def lcc_oriented_numerator(plan: WedgePlan, progress: bool = False) -> np.ndarra
     max_dispatch_pairs = 1 << 30
     for b in plan.buckets:
         w, r_pad = b.slab.shape
-        pairs = None
-        if use_pairs:
-            pairs = pair_cache.get(w)
+        n_pairs = w * (w - 1) // 2
+        if use_rowblock:
+            rc = b.chunk_cols
+            # power-of-two pair chunks only: a pc=561 (W=34 full pair
+            # list) dispatch crashed the TPU worker twice reproducibly;
+            # every measured-good shape used pow2 pc
+            pc = max(1, min(n_pairs, _CHUNK_PROBES // rc))
+            pc = 1 << (pc.bit_length() - 1)
+            pairs = pair_cache.get((w, pc))
             if pairs is None:
-                pairs = pair_cache[w] = _pair_tables(w)
-        rpd = max(
-            b.chunk_cols,
-            (max_dispatch_pairs // (w * w)) // b.chunk_cols * b.chunk_cols,
-        )
+                pairs = pair_cache[(w, pc)] = _pair_list_padded(w, pc)
+            rpd = max(rc, (max_dispatch_pairs // n_pairs) // rc * rc)
+        else:
+            # legacy kernels: largest power-of-two Rc that satisfies the
+            # old elements budget (plan r_pad is a multiple of a power of
+            # two >= it, so divisibility holds)
+            rc_budget = max(1, _CHUNK_ELEMS // (w * w))
+            rc = min(1 << (rc_budget.bit_length() - 1), b.chunk_cols)
+            pairs = None
+            if use_pairs:
+                pairs = pair_cache.get(w)
+                if pairs is None:
+                    pairs = pair_cache[w] = _pair_tables(w)
+            rpd = max(rc, (max_dispatch_pairs // (w * w)) // rc * rc)
         u_parts, e_parts = [], []
         for r0 in range(0, r_pad, rpd):
             r1 = min(r0 + rpd, r_pad)
-            u_c, e_c = _wedge_bucket(
-                jax.lax.slice_in_dim(b.slab, r0, r1, axis=1),
-                jax.lax.slice_in_dim(b.mslab, r0, r1, axis=1),
-                plan.ehash,
-                plan.id_bits,
-                b.chunk_cols,
-                pairs,
-                sort_probes=sort_probes,
-            )
+            sl = jax.lax.slice_in_dim(b.slab, r0, r1, axis=1)
+            ml = jax.lax.slice_in_dim(b.mslab, r0, r1, axis=1)
+            if use_rowblock:
+                u_c, e_c = _wedge_bucket_rowblock(
+                    sl, ml, plan.ehash, plan.id_bits, *pairs, rc, pc,
+                    sort_probes=sort_probes,
+                )
+            else:
+                u_c, e_c = _wedge_bucket(
+                    sl, ml, plan.ehash, plan.id_bits, rc, pairs,
+                    sort_probes=sort_probes,
+                )
             u_parts.append(u_c)
             e_parts.append(e_c)
         u_all = jnp.concatenate(u_parts) if len(u_parts) > 1 else u_parts[0]

@@ -33,7 +33,15 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from graphtpu.ops.gather import table_gather
 from graphtpu.ops.scan_reduce import seg_sum_scan
-from graphtpu.ops.triangles import WedgePlan, _patch_spilled, _wedge_bucket, prepare_wedge_plan
+from graphtpu.ops.triangles import (
+    WedgePlan,
+    _CHUNK_ELEMS,
+    _CHUNK_PROBES,
+    _patch_spilled,
+    _wedge_bucket,
+    _wedge_bucket_rowblock,
+    prepare_wedge_plan,
+)
 from graphtpu.parallel.mesh import ROWS_AXIS
 from graphtpu.parallel.partition import put_sharded
 
@@ -73,6 +81,38 @@ def _dist_wedge_bucket(
         out_specs=(P(), P(ROWS_AXIS, None, None)),
         check_vma=False,
     )(slab, mslab, ehash, pairs)
+
+
+@partial(
+    jax.jit, static_argnames=("mesh", "id_bits", "rc", "pc", "sort_probes")
+)
+def _dist_wedge_bucket_rowblock(
+    slab, mslab, ehash, ii_pad, jj_pad, mesh, id_bits, rc, pc,
+    sort_probes=False,
+):
+    """Sharded row-blocked pair-chunk bucket (ops/triangles.py
+    _wedge_bucket_rowblock per device slice) — same full-lane tiling fix
+    as single-chip; the row axis is already the sharded axis."""
+
+    def block(s, m, eh, ii, jj):
+        u, e = _wedge_bucket_rowblock(
+            s[0], m[0], eh, id_bits, ii, jj, rc, pc, sort_probes=sort_probes
+        )
+        return jax.lax.all_gather(u, ROWS_AXIS, tiled=True), e[None]
+
+    return jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(
+            P(ROWS_AXIS, None, None),
+            P(ROWS_AXIS, None, None),
+            P(),
+            P(),
+            P(),
+        ),
+        out_specs=(P(), P(ROWS_AXIS, None, None)),
+        check_vma=False,
+    )(slab, mslab, ehash, ii_pad, jj_pad)
 
 
 @partial(jax.jit, static_argnames=("mesh", "n"))
@@ -147,9 +187,10 @@ def lcc_oriented_dist_numerator(plan: WedgePlan, mesh) -> np.ndarray:
     numerator_ranked = np.zeros(n, dtype=np.int64)
     e_creds = []
     dev_slabs = []
-    # same probe-mode knob as the single-chip path (pair list by default)
-    probe_mode = _os.environ.get("GRAPHTPU_LCC_PROBE", "pairs")
-    use_pairs = not probe_mode.startswith("square")
+    # same probe-mode knob as the single-chip path (rowblock by default)
+    probe_mode = _os.environ.get("GRAPHTPU_LCC_PROBE", "rowblock")
+    use_rowblock = probe_mode.startswith("rowblock")
+    use_pairs = probe_mode.startswith("pairs")
     sort_probes = probe_mode.endswith("-sorted")
     pair_cache: dict = {}
 
@@ -176,33 +217,48 @@ def lcc_oriented_dist_numerator(plan: WedgePlan, mesh) -> np.ndarray:
         )
         dev_slabs.append(dev_slab)
 
-        pairs = None
-        if use_pairs:
-            pairs = pair_cache.get(w)
-            if pairs is None:
-                from graphtpu.ops.triangles import _pair_tables
+        n_pairs = w * (w - 1) // 2
+        if use_rowblock:
+            rc = b.chunk_cols
+            pc = max(1, min(n_pairs, _CHUNK_PROBES // rc))
+            pc = 1 << (pc.bit_length() - 1)  # pow2 only (see triangles.py)
+            from graphtpu.ops.triangles import _pair_list_padded
 
-                pairs = pair_cache[w] = _pair_tables(w)
+            pairs = pair_cache.get((w, pc))
+            if pairs is None:
+                pairs = pair_cache[(w, pc)] = _pair_list_padded(w, pc)
+            rpd = max(rc, (_MAX_DISPATCH_PAIRS // n_pairs) // rc * rc)
+        else:
+            # legacy kernels need the old elements budget: biggest
+            # power-of-two Rc under it (divides the plan's r_pad)
+            rc_budget = max(1, _CHUNK_ELEMS // (w * w))
+            rc = min(1 << (rc_budget.bit_length() - 1), b.chunk_cols)
+            pairs = None
+            if use_pairs:
+                pairs = pair_cache.get(w)
+                if pairs is None:
+                    from graphtpu.ops.triangles import _pair_tables
+
+                    pairs = pair_cache[w] = _pair_tables(w)
+            rpd = max(rc, (_MAX_DISPATCH_PAIRS // (w * w)) // rc * rc)
 
         # probe, slicing columns to bound per-device dispatch size
-        rpd = max(
-            b.chunk_cols,
-            (_MAX_DISPATCH_PAIRS // (w * w)) // b.chunk_cols * b.chunk_cols,
-        )
         u_full = np.zeros(r_tot, dtype=np.int64)
         e_parts = []
         for s0 in range(0, r_dev, rpd):
             s1 = min(s0 + rpd, r_dev)
-            u_g, e_g = _dist_wedge_bucket(
-                jax.lax.slice_in_dim(dev_slab, s0, s1, axis=2),
-                jax.lax.slice_in_dim(dev_mslab, s0, s1, axis=2),
-                plan.ehash,
-                mesh,
-                plan.id_bits,
-                b.chunk_cols,
-                pairs,
-                sort_probes=sort_probes,
-            )
+            sl = jax.lax.slice_in_dim(dev_slab, s0, s1, axis=2)
+            ml = jax.lax.slice_in_dim(dev_mslab, s0, s1, axis=2)
+            if use_rowblock:
+                u_g, e_g = _dist_wedge_bucket_rowblock(
+                    sl, ml, plan.ehash, *pairs, mesh, plan.id_bits, rc, pc,
+                    sort_probes=sort_probes,
+                )
+            else:
+                u_g, e_g = _dist_wedge_bucket(
+                    sl, ml, plan.ehash, mesh, plan.id_bits, rc, pairs,
+                    sort_probes=sort_probes,
+                )
             u_np = np.asarray(u_g).reshape(num_devices, s1 - s0)
             for d in range(num_devices):
                 u_full[d * r_dev + s0 : d * r_dev + s1] += u_np[d]

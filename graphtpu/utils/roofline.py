@@ -45,8 +45,12 @@ RATES_TPU = {
     #                       sorted unique ids measures at noise level —
     #                       the round-1 "30 ns/el" figure was a fused-
     #                       context artifact, not the primitive's cost
-    "hashrow_ns": 16.0,   # LCC big-table hash-row fetch (issue-rate bound,
-    #                       ROADMAP round-1 measurement on the 1.07 GB table)
+    "hashrow_ns": 14.5,   # LCC big-table hash-row fetch, re-derived round 4
+    #                       (scripts/perf/lcc_probe_bench.py): raw table[h]
+    #                       row gather 16.45 ns at 1 GB, but the rowblock
+    #                       wedge kernel SUSTAINS 13.8-14.8 ns/probe incl.
+    #                       bookkeeping (deeper pipelining across scan
+    #                       steps) — the roof is the best demonstrated rate
     "dispatch_ms": 26.0,  # axon relay round trip; ~0.1 ms on direct-attached
 }
 
