@@ -37,6 +37,27 @@ vregs. XLA's gather engine keeps the hot path (GRAPHTPU rates:
 gather_ns=2.6). Revisit if Mosaic grows multi-vreg dynamic_gather —
 the win on the table (labels in VMEM, 8 B/idx HBM) is bounded below by
 ~64x less HBM row traffic than the XLA path.
+
+**Second formulation (VERDICT r3 #4), measured round 4: also loses.**
+`dma_row_gather` below is the scalar-prefetch-driven route — the table
+stays in HBM and the kernel issues one 512 B async copy per index with
+up to 64 DMAs in flight (PrefetchScalarGridSpec + per-slot semaphores).
+It compiles and is bit-correct on v5e, but the A/B at a 1 GB table
+(scripts/perf/dma_gather_bench.py, N=2^20 random rows, identical
+harness) reads:
+
+    XLA table[idx] row fetch:   34.2 ns/row   (16.5 at N=2^22)
+    pallas DMA, best config :   52.6 ns/row   (block=1024, slots=32;
+                                 46-64 across the block/slots sweep)
+
+Per-row DMA issue overhead (~50 ns even fully pipelined) is the floor —
+XLA's gather engine batches row fetches below what software-issued
+descriptors can reach. Both Pallas doors are now measured shut; the
+hardware gather path keeps every hot gather. Constraints hit on the
+way (each documented at the code): x64 leaks int64 into Mosaic's
+self-recursing s64 convert rule (trace-time RecursionError), index_map
+constants must be 32-bit, and scalar-prefetch operands are staged in
+SMEM (1 MB) so an index vector caps at ~2^17 int32 per call.
 """
 
 from __future__ import annotations
@@ -86,7 +107,11 @@ def dma_row_gather(table: jax.Array, idx: jax.Array, *, block: int = 512,
     scripts/perf/dma_gather_bench.py for the measured verdict.
 
     table: [R, 128] int32/float32 (one hardware tile row per index);
-    idx: [N] int32, N % block == 0."""
+    idx: [N] int32, N % block == 0, N <= 2^17 — scalar-prefetch operands
+    are staged in SMEM (1 MB on v5e): a 2^20-index vector failed AOT
+    compile with "Allocation (size=4194304) would exceed memory
+    (size=1048576) ... space=smem, tag='prefetched SMEM operand'".
+    Callers chunk larger streams."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -94,50 +119,58 @@ def dma_row_gather(table: jax.Array, idx: jax.Array, *, block: int = 512,
     assert n % block == 0, (n, block)
 
     def kern(idx_ref, table_ref, out_ref, sems):
-        b = pl.program_id(0)
-        base = b * block
+        # x64 must be off inside the body: int64 loop indices hit
+        # Mosaic's s64 convert rule, which self-recurses (RecursionError
+        # at trace time — same class of constraint as vreg_shuffle's)
+        with jax.enable_x64(False):
+            b = pl.program_id(0)
+            base = b * block
 
-        def make(i, slot):
-            return pltpu.make_async_copy(
-                table_ref.at[idx_ref[base + i]],
-                out_ref.at[i],
-                sems.at[slot],
-            )
+            def make(i, slot):
+                return pltpu.make_async_copy(
+                    table_ref.at[idx_ref[base + i]],
+                    out_ref.at[i],
+                    sems.at[slot],
+                )
 
-        def prime(i, _):
-            make(i, i % slots).start()
-            return _
+            def prime(i, _):
+                make(i, i % slots).start()
+                return _
 
-        jax.lax.fori_loop(0, min(slots, block), prime, 0)
+            jax.lax.fori_loop(0, min(slots, block), prime, 0)
 
-        def step(i, _):
-            # wait DMA i, then issue DMA i+slots into the freed slot
-            make(i, i % slots).wait()
-            make(i + slots, i % slots).start()
-            return _
+            def step(i, _):
+                # wait DMA i, then issue DMA i+slots into the freed slot
+                make(i, i % slots).wait()
+                make(i + slots, i % slots).start()
+                return _
 
-        jax.lax.fori_loop(0, max(block - slots, 0), step, 0)
+            jax.lax.fori_loop(0, max(block - slots, 0), step, 0)
 
-        def drain(i, _):
-            make(i, i % slots).wait()
-            return _
+            def drain(i, _):
+                make(i, i % slots).wait()
+                return _
 
-        jax.lax.fori_loop(max(block - slots, 0), block, drain, 0)
+            jax.lax.fori_loop(max(block - slots, 0), block, drain, 0)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n // block,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (block, 128), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((slots,))],
-    )
-    return pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((n, 128), table.dtype),
-        grid_spec=grid_spec,
-    )(idx.astype(jnp.int32), table)
+    # the 32-bit scope must also cover the grid spec + call: index_map
+    # constants trace as i64 under the repo's x64 mode and Mosaic fails
+    # to legalize the (i32, smem-ref) -> (i32, i64) transform func
+    with jax.enable_x64(False):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // block,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (block, 128), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((slots,))],
+        )
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((n, 128), table.dtype),
+            grid_spec=grid_spec,
+        )(idx.astype(jnp.int32), table)
 
 
 def pallas_table_gather(x: jax.Array, idx: jax.Array) -> jax.Array:

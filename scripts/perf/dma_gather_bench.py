@@ -49,9 +49,19 @@ def xla_row_gather_sum(table, idx):
     return jnp.sum(table[idx][:, 0], dtype=jnp.int32)
 
 
-@jax.jit
-def dma_sum(table, idx):
-    return jnp.sum(dma_row_gather(table, idx)[:, 0], dtype=jnp.int32)
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("block", "slots"))
+def dma_sum(table, idx, block=512, slots=16):
+    # scalar-prefetch operands live in SMEM (1 MB): chunk to 2^17 indices
+    total = jnp.int32(0)
+    for s0 in range(0, idx.shape[0], 1 << 17):
+        part = dma_row_gather(
+            table, idx[s0:s0 + (1 << 17)], block=block, slots=slots
+        )
+        total = total + jnp.sum(part[:, 0], dtype=jnp.int32)
+    return total
 
 
 for rows_log2 in (14, 19, 21):  # 8 MB, 256 MB, 1 GB
@@ -77,14 +87,10 @@ idx = jnp.asarray((idx_host & (rows - 1)).astype(np.int32))
 for block in (256, 512, 1024):
     for slots in (8, 16, 32):
         try:
-            @jax.jit
-            def f(table, idx, block=block, slots=slots):
-                return jnp.sum(
-                    dma_row_gather(table, idx, block=block, slots=slots)[:, 0],
-                    dtype=jnp.int32,
-                )
-
-            dt = timed(lambda: fence(f(table, idx)), reps=2)
+            dt = timed(
+                lambda: fence(dma_sum(table, idx, block=block, slots=slots)),
+                reps=2,
+            )
             print(f"  block={block:5d} slots={slots:3d}: "
                   f"{dt/N*1e9:7.2f} ns/row", flush=True)
         except Exception as e:  # noqa: BLE001
