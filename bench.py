@@ -513,6 +513,12 @@ def main() -> None:
             plan_w = prepare_wedge_plan(g, cache_dir=cache_dir)
             g._wedge_plan = plan_w
             lcc_prep_s = time.perf_counter() - t0
+            # warm-then-time like every other section: the first numerator
+            # call pays per-bucket executable loads + first-dispatch
+            # overhead through the relay (~6 s/bucket, 184 s vs 77 s warm)
+            t0 = time.perf_counter()
+            coeff = lcc_oriented(g, cache_dir=cache_dir)
+            lcc_cold_s = time.perf_counter() - t0
             t0 = time.perf_counter()
             coeff = lcc_oriented(g, cache_dir=cache_dir)
             lcc_s = time.perf_counter() - t0
@@ -525,6 +531,7 @@ def main() -> None:
             lcc_roof = probes * rl.rate("hashrow_ns") * 1e-9
             return dict(
                 lcc_s=round(lcc_s, 3),
+                lcc_cold_s=round(lcc_cold_s, 3),
                 lcc_prep_s=round(lcc_prep_s, 3),
                 lcc_padded_probes=int(probes),
                 lcc_sol_pct=rl.sol_pct(lcc_s, lcc_roof),

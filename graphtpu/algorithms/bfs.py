@@ -391,7 +391,11 @@ def bfs_adaptive_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig]
         getattr(cfg, "spmv_impl", "scan") or "scan",
     )
     if with_stats:
-        c = np.asarray(counts)
+        # one D2H for iteration count + phase counters (separate
+        # transfers cost a ~25 ms relay roundtrip each — the round-4
+        # bench read 0.583 -> 0.465 GTEPS until this was batched)
+        niter, c = jax.device_get((niter, counts))
+        niter = int(niter)
         stats = {
             "tier_steps": {int(e): int(c[i]) for i, (_, e) in enumerate(tiers)},
             "tiers": [(int(k), int(e)) for k, e in tiers],
@@ -401,7 +405,7 @@ def bfs_adaptive_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig]
             "k_bu": k_bu,
             "e_bu": e_bu,
         }
-        return levels, int(niter), stats
+        return levels, niter, stats
     return levels, int(niter)
 
 

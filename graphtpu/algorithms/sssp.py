@@ -437,13 +437,16 @@ def sssp_adaptive_run(graph: Graph, src_dense: int, cfg=None, dtype=np.float32,
         getattr(cfg, "spmv_impl", "scan") or "scan",
     )
     if with_stats:
+        # one D2H for both counters (a separate int() per scalar costs a
+        # ~25 ms relay roundtrip each inside bench timed regions)
+        niter, nfull = (int(v) for v in jax.device_get((niter, nfull)))
         stats = {
-            "full_steps": int(nfull),
-            "active_steps": int(niter) - int(nfull),
+            "full_steps": nfull,
+            "active_steps": niter - nfull,
             "e_cap": e_cap,
             "k_cap": k_cap,
         }
-        return np.asarray(dist), int(niter), stats
+        return np.asarray(dist), niter, stats
     return np.asarray(dist), int(niter)
 
 

@@ -218,14 +218,17 @@ def wcc_adaptive_run(graph: Graph, cfg=None, with_stats: bool = False):
         coo.src, coo.dst, indptr, deg_pad, sym.n, k_cap, e_cap,
         getattr(cfg, "spmv_impl", "scan") or "scan",
     )
+    # ONE device_get for every scalar: each separate int() costs a full
+    # D2H roundtrip (~25 ms through the relay) inside bench timed regions
     if with_stats:
+        niter, nfull = (int(v) for v in jax.device_get((niter, nfull)))
         stats = {
-            "full_steps": int(nfull),
-            "active_steps": int(niter) - int(nfull),
+            "full_steps": nfull,
+            "active_steps": niter - nfull,
             "e_cap": e_cap,
             "k_cap": k_cap,
         }
-        return labels, int(niter), stats
+        return labels, niter, stats
     return labels, int(niter)
 
 

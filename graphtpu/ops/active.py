@@ -306,13 +306,16 @@ def cdlp_adaptive_device_run(graph, centers, neigh, deg, itermax, cfg=None,
         e_cap,
     )
     if with_stats:
+        # one D2H for both counters (separate int() transfers cost a
+        # ~25 ms relay roundtrip each inside bench timed regions)
+        it_h, nf_h = (int(v) for v in jax.device_get((it, nf)))
         stats = {
-            "full_steps": int(nf),
-            "active_steps": int(it) - int(nf),
+            "full_steps": nf_h,
+            "active_steps": it_h - nf_h,
             "e_cap": e_cap,
             "k_cap": k_cap,
         }
-        return labels, it, stats
+        return labels, it_h, stats
     return labels, it
 
 

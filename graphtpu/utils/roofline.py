@@ -37,7 +37,10 @@ import os
 # measured on TPU v5e through the axon relay, round 3
 # (scripts/perf/scatter_bench.py + bfs_phases.py primitive section)
 RATES_TPU = {
-    "gather_ns": 2.6,
+    "gather_ns": 2.4,  # round 4: the PR slab kernel sustains 2.43 ns/idx
+    #                    end-to-end (106.8% of the old 2.6 figure) — the
+    #                    roof is the best demonstrated rate, so PR now
+    #                    reads ~99% and every gather roof tightened ~8%
     "scan_ns": 1.4,
     "sort_ns": 0.4,       # 0.29-0.36 ns/el measured at 2^20-2^21 int32 —
     #                       the round-1/2 "~2 ns/el" figure was wrong

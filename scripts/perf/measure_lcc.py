@@ -1,5 +1,9 @@
 """Time oriented LCC at bench scale (run exclusively)."""
+import os
 import time
+
+os.environ.setdefault("GRAPHTPU_COMPILE_CACHE", "./intermediate/xla-cache")
+
 import numpy as np
 import graphtpu  # noqa: F401
 import jax.numpy as jnp
