@@ -214,6 +214,7 @@ def _free_device_state(g) -> None:
         "_incidence_stream", "_bfs_adaptive_prep", "_pull_indptr_dev",
         "_sssp_delta_prep", "_sssp_adaptive_prep", "_pull_plan_cache",
         "_cdlp_slab_plan", "_wedge_plan", "_wcc_adaptive_prep",
+        "_wcc_slab_plan",
     )
     targets = [g]
     sym = getattr(g, "_symmetrized", None)
@@ -404,7 +405,7 @@ def main() -> None:
             wcc_roof_nom = rl.roof_seconds(gathers=g.nnz * wit)
             wcc_roof_exec = rl.wcc_executed_roof(
                 wstats["full_steps"], wstats["active_steps"], g.nnz, g.n,
-                wstats["e_cap"],
+                wstats["e_cap"], wstats.get("plan_gathers"),
             )
             return dict(
                 wcc_s=round(wcc_s, 3),
@@ -416,7 +417,7 @@ def main() -> None:
                 wcc_sol_pct_nominal=rl.sol_pct(wcc_s, wcc_roof_nom),
             )
 
-        out = runner.run("wcc", [("adaptive", _wcc_section)])
+        out = runner.run("wcc", [("auto:slab-adaptive", _wcc_section)])
         if out:
             details.update(out)
         _free_device_state(g)

@@ -109,16 +109,24 @@ def cdlp_executed_roof(full_steps: int, active_steps: int,
 
 
 def wcc_executed_roof(full_steps: int, active_steps: int, nnz: int, n: int,
-                      e_cap: int) -> float:
-    """Full step: label gather + segment-min scan over the symmetrized
-    stream, plus two n-sized pointer-jump gathers. Iteration 0 (always a
-    full step) skips the label gather — identity labels make it
-    edges_src itself (algorithms/wcc.py iter0_step) — so one full step's
-    E-gather is discounted. Active step: expand (2 E gathers) + label
-    gather + seg-min scan over e_cap + dedupe sorts (2) + one n-sized
-    compact sort at the phase boundary."""
-    full = roof_seconds(gathers=nnz + 2 * n, scans=nnz)
-    iter0_discount = roof_seconds(gathers=nnz) if full_steps >= 1 else 0.0
+                      e_cap: int, plan_gathers: "int | None" = None) -> float:
+    """Edge-stream full step: label gather + segment-min scan over the
+    symmetrized stream, plus two n-sized pointer-jump gathers. Slab full
+    step (`plan_gathers` set — the wcc-impl=slab/auto variant): one
+    padded slab-plan gather sweep (row-min is a VPU axis reduction, not
+    a scan) plus the jumps. Iteration 0 (always a full step) is
+    gather-free in both variants, so one full step's main volume is
+    discounted. Active step: expand (2 E gathers) + label gather +
+    seg-min scan over e_cap + dedupe sorts (2) + one n-sized compact
+    sort at the phase boundary."""
+    if plan_gathers is not None:
+        full = roof_seconds(gathers=plan_gathers + 2 * n)
+        iter0_discount = (
+            roof_seconds(gathers=plan_gathers) if full_steps >= 1 else 0.0
+        )
+    else:
+        full = roof_seconds(gathers=nnz + 2 * n, scans=nnz)
+        iter0_discount = roof_seconds(gathers=nnz) if full_steps >= 1 else 0.0
     active = roof_seconds(gathers=3 * e_cap, scans=e_cap,
                           sorts=2 * e_cap + n)
     return full_steps * full - iter0_discount + active_steps * active

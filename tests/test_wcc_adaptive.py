@@ -60,3 +60,19 @@ def test_adaptive_uniform():
     np.testing.assert_array_equal(
         _adaptive(sym, 1 << 9, 1 << 13), _dense(sym)
     )
+
+
+@pytest.mark.parametrize("directed", [True, False])
+def test_slab_adaptive_matches_dense(directed):
+    """The slab-plan full-step variant (round-4 structural lever) reaches
+    the same fixed point as the dense kernel."""
+    from graphtpu.algorithms.wcc import wcc_adaptive_run
+    from graphtpu.utils.config import PlatformConfig
+    from graphtpu.utils.synth import uniform_graph
+
+    g = uniform_graph(300, 900, directed=directed, seed=11)
+    cfg = PlatformConfig(wcc_impl="slab", wcc_frontier_rows=1 << 8,
+                         wcc_frontier_edges=1 << 12)
+    labels, it = wcc_adaptive_run(g, cfg)
+    expected = _dense(g.symmetrized())
+    assert np.array_equal(np.asarray(labels), expected)
