@@ -1,0 +1,142 @@
+"""SuiteSparse/LAGraph .grb/.vtb binary interop (graphtpu/ingest/grb.py):
+byte-layout round trips, hypersparse expansion, iso/pattern matrices,
+and Graph-level load/save parity with the text ingest path.
+
+Format reference: /root/reference/src/main/c/include/graphio.h:40-285
+(binread/binwrite) and src/graphio.cpp:40-49 (.vtb)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from graphtpu.ingest import grb
+from graphtpu.ingest.relabel import relabel
+from graphtpu.utils.synth import uniform_graph
+
+FIX = "/root/reference/example-data-sets/graphs"
+
+
+def test_vtb_roundtrip(tmp_path):
+    ids = np.array([3, 9, 12, 1025, 2**40], dtype=np.uint64)
+    grb.write_vtb(tmp_path / "graph.vtb", ids)
+    # raw little-endian u64 records, nothing else (graphio.cpp:46)
+    raw = (tmp_path / "graph.vtb").read_bytes()
+    assert len(raw) == 8 * len(ids)
+    assert struct.unpack("<Q", raw[:8])[0] == 3
+    assert np.array_equal(grb.read_vtb(tmp_path / "graph.vtb"), ids)
+
+
+def test_grb_header_and_scalar_layout(tmp_path):
+    indptr = np.array([0, 2, 3, 3], dtype=np.uint64)
+    indices = np.array([1, 2, 0], dtype=np.uint64)
+    vals = np.array([1.5, 2.5, 3.5], dtype=np.float64)
+    grb.write_grb(tmp_path / "m.grb", indptr, indices, vals, 3, 3)
+    raw = (tmp_path / "m.grb").read_bytes()
+    # 512-byte informational ASCII header, then packed scalars
+    assert raw[:28] == b"SuiteSparse:GraphBLAS matrix"
+    assert raw[511:512] == b"\0"
+    fmt, kind, hyper, nrows, ncols, nonempty, nvec, nvals, tc, ts = (
+        struct.unpack_from("<iidQQqQQiQ", raw, 512)
+    )
+    assert (fmt, kind) == (0, 2)          # CSR, GxB_SPARSE, not iso
+    assert (nrows, ncols, nvec, nvals) == (3, 3, 3, 3)
+    assert (tc, ts) == (10, 8)            # GrB_FP64
+    # arrays follow immediately, packed
+    off = 512 + 68
+    ap = np.frombuffer(raw, "<u8", 4, off)
+    assert np.array_equal(ap, indptr)
+
+
+def test_grb_roundtrip_weighted(tmp_path):
+    indptr = np.array([0, 2, 3, 3], dtype=np.uint64)
+    indices = np.array([1, 2, 0], dtype=np.uint64)
+    vals = np.array([1.5, 2.5, 3.5], dtype=np.float64)
+    grb.write_grb(tmp_path / "m.grb", indptr, indices, vals, 3, 3)
+    ip, ai, ax, nr, nc, by_row = grb.read_grb(tmp_path / "m.grb")
+    assert by_row and (nr, nc) == (3, 3)
+    assert np.array_equal(ip, indptr.astype(np.int64))
+    assert np.array_equal(ai, indices.astype(np.int64))
+    assert np.allclose(ax, vals)
+
+
+def test_grb_roundtrip_pattern_iso(tmp_path):
+    indptr = np.array([0, 1, 2], dtype=np.uint64)
+    indices = np.array([1, 0], dtype=np.uint64)
+    grb.write_grb(tmp_path / "m.grb", indptr, indices, None, 2, 2)
+    ip, ai, ax, nr, nc, by_row = grb.read_grb(tmp_path / "m.grb")
+    assert ax is None  # pattern/bool matrix: structure only
+    assert np.array_equal(ai, [1, 0])
+
+
+def test_grb_reads_hypersparse():
+    """Hand-build a hypersparse CSR (the converter's form for id-sparse
+    matrices) byte-by-byte per graphio.h and check the dense expansion."""
+    import io
+
+    nrows = ncols = 6
+    ah = np.array([1, 4], dtype="<u8")            # stored rows
+    ap = np.array([0, 2, 3], dtype="<u8")         # into Ai per stored row
+    ai = np.array([0, 5, 2], dtype="<u8")
+    ax = np.array([7.0, 8.0, 9.0], dtype="<f8")
+    buf = io.BytesIO()
+    buf.write(b"x" * 511 + b"\0")
+    buf.write(struct.pack("<iidQQqQQiQ", 0, 1, 0.0625, nrows, ncols, -1,
+                          len(ah), len(ai), 10, 8))
+    buf.write(ap.tobytes()); buf.write(ah.tobytes())
+    buf.write(ai.tobytes()); buf.write(ax.tobytes())
+    import pathlib, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = pathlib.Path(d) / "h.grb"
+        p.write_bytes(buf.getvalue())
+        ip, aii, axx, nr, nc, by_row = grb.read_grb(p)
+    assert np.array_equal(ip, [0, 0, 2, 2, 2, 3, 3])
+    assert np.array_equal(aii, [0, 5, 2])
+    assert np.allclose(axx, [7, 8, 9])
+
+
+@pytest.mark.parametrize("gname,directed,weighted", [
+    ("example-directed", True, True),
+    ("example-undirected", False, True),
+])
+def test_graph_binary_cache_parity_with_text_ingest(tmp_path, gname,
+                                                    directed, weighted):
+    """save_graph_grb + load_graph_grb reproduce the text-ingested graph
+    exactly (structure, weights, mapping) on the reference datasets."""
+    g = relabel(f"{FIX}/{gname}.v", f"{FIX}/{gname}.e", directed, weighted)
+    grb.save_graph_grb(g, tmp_path)
+    g2 = grb.load_graph_grb(tmp_path, directed, weighted)
+    assert g2.n == g.n and g2.nnz == g.nnz
+    assert np.array_equal(g2.src, g.src)
+    assert np.array_equal(g2.dst, g.dst)
+    assert np.allclose(g2.w, g.w)
+    assert np.array_equal(g2.mapping, g.mapping)
+
+
+def test_graph_binary_cache_parity_unweighted(tmp_path):
+    g = uniform_graph(64, 300, directed=True, weighted=False, seed=5)
+    g.mapping = g.mapping * 3 + 7  # sparse original ids
+    grb.save_graph_grb(g, tmp_path)
+    g2 = grb.load_graph_grb(tmp_path, True, False)
+    assert np.array_equal(g2.src, g.src)
+    assert np.array_equal(g2.dst, g.dst)
+    assert np.array_equal(g2.mapping, g.mapping)
+
+
+def test_loader_falls_back_to_reference_binary_cache(tmp_path):
+    """A dataset dir with only graph.grb + graph.vtb (no .v/.e text)
+    loads through the loader — the reference platform's binary-cache
+    contract."""
+    from graphtpu.ingest.loader import load_graph
+
+    g = uniform_graph(40, 160, directed=True, weighted=True, seed=9)
+    grb.save_graph_grb(g, tmp_path)
+    g2 = load_graph(
+        str(tmp_path / "missing.v"), str(tmp_path / "missing.e"),
+        True, True, graph_name="binonly",
+        intermediate_dir=str(tmp_path / "im"),
+    )
+    assert g2.nnz == g.nnz
+    assert np.array_equal(g2.src, g.src)
+    assert np.allclose(g2.w, g.w)
