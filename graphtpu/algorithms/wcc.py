@@ -60,27 +60,29 @@ def _wcc_kernel(edges_src, edges_dst, indptr, n, impl="scan"):
     return labels, it
 
 
-@partial(jax.jit, static_argnames=("n", "k_cap", "e_cap", "impl"))
-def _wcc_adaptive_kernel(edges_src, edges_dst, indptr, deg_pad, n,
-                        k_cap, e_cap, impl="scan"):
-    """Single-dispatch convergence-adaptive WCC (structure mirrors
-    _cdlp_adaptive_kernel): full min-propagation + pointer-jumping steps
-    while many labels churn, compacted active-set steps once the rows
-    adjacent to a changed vertex fit the static frontier capacities.
+def _wcc_adaptive_loop(full_step, iter0_step, edges_src, indptr, deg_pad,
+                       n, k_cap, e_cap):
+    """Shared nested-phase machinery of the adaptive WCC kernels — the
+    full-step implementations differ (edge-stream pull_reduce vs
+    slab-plan row-min), everything else (capacity gating, device
+    compaction, the active min-propagation step, the phase while_loops,
+    the full-step counter for executed-volume roofs) is this one copy.
 
     Active steps do PURE min-propagation (no pointer jumping): jumps can
     change labels far from any frontier, which would force a second
     expansion to find the next active set; without them a label can only
     change through an edge, so the step's own expansion already holds the
     next frontier. The fixed point (min label per component) is
-    unchanged — the tail just takes a few more (cheap) iterations."""
+    unchanged — the tail just takes a few more (cheap) iterations.
+
+    `full_step(labels) -> (new, changed_mask)`; `iter0_step() ->
+    (new, changed_mask)` is its gather-free first iteration (identity
+    labels)."""
     from graphtpu.ops.frontier import compact, compact_stream, expand, frontier_deg_sum
-    from graphtpu.ops.gather import EDGE_STREAM_CHUNK, table_gather
+    from graphtpu.ops.gather import table_gather
     from graphtpu.ops.scan_reduce import seg_min_scan
-    from graphtpu.ops.spmv import pull_reduce
 
     deg_n = deg_pad[:-1]
-    labels0 = jnp.arange(n, dtype=jnp.int32)
 
     def fits(changed_mask):
         cnt = jnp.sum(changed_mask, dtype=jnp.int32)
@@ -94,29 +96,13 @@ def _wcc_adaptive_kernel(edges_src, edges_dst, indptr, deg_pad, n,
         ne = frontier_deg_sum(nxt_ids, deg_pad)
         return nxt_ids, (nxt_cnt <= k_cap) & (ne <= e_cap)
 
-    def full_step(labels):
-        neigh_min = pull_reduce(
-            "min", table_gather(labels, edges_src, chunk=EDGE_STREAM_CHUNK), edges_dst, indptr, n,
-            INT32_INF, impl,
-        )
-        new = jnp.minimum(labels, neigh_min)
-        new = jnp.minimum(new, table_gather(new, new))
-        new = jnp.minimum(new, table_gather(new, new))
-        changed_mask = new != labels
-        return new, changed_mask, fits(changed_mask), jnp.any(changed_mask)
+    def gate(step):
+        def gated(*args):
+            new, changed_mask = step(*args)
+            return new, changed_mask, fits(changed_mask), jnp.any(changed_mask)
+        return gated
 
-    def iter0_step(labels0):
-        """Gather-free first iteration: labels are the identity, so the
-        label-at-source gather IS edges_src (the CDLP _iter0 move,
-        ops/minmode.py, applied to min-propagation)."""
-        neigh_min = pull_reduce(
-            "min", edges_src, edges_dst, indptr, n, INT32_INF, impl
-        )
-        new = jnp.minimum(labels0, neigh_min)
-        new = jnp.minimum(new, table_gather(new, new))
-        new = jnp.minimum(new, table_gather(new, new))
-        changed_mask = new != labels0
-        return new, changed_mask, fits(changed_mask), jnp.any(changed_mask)
+    full_gated = gate(full_step)
 
     def active_step(labels, act_ids):
         exp = expand(act_ids, deg_pad, indptr, edges_src, e_cap)
@@ -150,7 +136,7 @@ def _wcc_adaptive_kernel(edges_src, edges_dst, indptr, deg_pad, n,
 
         def body(s):
             labels, _, ids, _, _, it, nf = s
-            new, mask, fit, ch = full_step(labels)
+            new, mask, fit, ch = full_gated(labels)
             return new, mask, ids, fit, ch, it + 1, nf + 1
 
         return jax.lax.while_loop(cond, body, state)
@@ -167,7 +153,7 @@ def _wcc_adaptive_kernel(edges_src, edges_dst, indptr, deg_pad, n,
 
         return jax.lax.while_loop(cond, body, state)
 
-    labels_init, mask0, fit0, ch0 = iter0_step(labels0)
+    labels_init, mask0, fit0, ch0 = gate(iter0_step)()
     state = (
         labels_init,
         mask0,
@@ -195,6 +181,47 @@ def _wcc_adaptive_kernel(edges_src, edges_dst, indptr, deg_pad, n,
 
 
 @partial(jax.jit, static_argnames=("n", "k_cap", "e_cap", "impl"))
+def _wcc_adaptive_kernel(edges_src, edges_dst, indptr, deg_pad, n,
+                        k_cap, e_cap, impl="scan"):
+    """Single-dispatch convergence-adaptive WCC over the raw edge
+    stream (structure mirrors _cdlp_adaptive_kernel): full
+    min-propagation + pointer-jumping steps while many labels churn,
+    compacted active-set steps once the changed rows fit the static
+    frontier capacities (the shared machinery in _wcc_adaptive_loop)."""
+    from graphtpu.ops.gather import EDGE_STREAM_CHUNK, table_gather
+    from graphtpu.ops.spmv import pull_reduce
+
+    labels0 = jnp.arange(n, dtype=jnp.int32)
+
+    def finish(labels, neigh_min):
+        new = jnp.minimum(labels, neigh_min)
+        # pointer jumping: representative chains compress to their minimum
+        new = jnp.minimum(new, table_gather(new, new))
+        new = jnp.minimum(new, table_gather(new, new))
+        return new, new != labels
+
+    def full_step(labels):
+        neigh_min = pull_reduce(
+            "min", table_gather(labels, edges_src, chunk=EDGE_STREAM_CHUNK),
+            edges_dst, indptr, n, INT32_INF, impl,
+        )
+        return finish(labels, neigh_min)
+
+    def iter0_step():
+        # gather-free first iteration: labels are the identity, so the
+        # label-at-source gather IS edges_src (the CDLP _iter0 move,
+        # ops/minmode.py, applied to min-propagation)
+        neigh_min = pull_reduce(
+            "min", edges_src, edges_dst, indptr, n, INT32_INF, impl
+        )
+        return finish(labels0, neigh_min)
+
+    return _wcc_adaptive_loop(
+        full_step, iter0_step, edges_src, indptr, deg_pad, n, k_cap, e_cap
+    )
+
+
+@partial(jax.jit, static_argnames=("n", "k_cap", "e_cap", "impl"))
 def _wcc_slab_adaptive_kernel(plan, edges_src, indptr, deg_pad, n,
                               k_cap, e_cap, impl="scan"):
     """Adaptive WCC with SLAB-PLAN full steps — the round-4 structural
@@ -204,36 +231,19 @@ def _wcc_slab_adaptive_kernel(plan, edges_src, indptr, deg_pad, n,
     sustain 2.43 ns/idx (PR) and its row-min is a plain axis reduction
     on the VPU. Full steps ride `slab_spmv(MIN_SECOND, ...)`; iteration
     0 is gather-free (identity labels make the gathered slab the slab's
-    own neighbor ids); active steps are identical to
-    _wcc_adaptive_kernel (expansion over the symmetrized pull CSR)."""
+    own neighbor ids); the loop machinery is _wcc_adaptive_loop."""
     from graphtpu.core.semiring import MIN_SECOND
-    from graphtpu.ops.frontier import compact, compact_stream, expand, frontier_deg_sum
     from graphtpu.ops.gather import table_gather
-    from graphtpu.ops.scan_reduce import seg_min_scan
     from graphtpu.ops.slab import assemble
     from graphtpu.ops.spmv import pull_reduce, slab_spmv
 
-    deg_n = deg_pad[:-1]
     labels0 = jnp.arange(n, dtype=jnp.int32)
-
-    def fits(changed_mask):
-        cnt = jnp.sum(changed_mask, dtype=jnp.int32)
-        ce = jnp.sum(jnp.where(changed_mask, deg_n, 0), dtype=jnp.int32)
-        return (cnt <= k_cap) & (ce <= e_cap)
-
-    def derive(changed_mask):
-        ids, _ = compact(changed_mask, k_cap)
-        exp = expand(ids, deg_pad, indptr, edges_src, e_cap)
-        nxt_ids, nxt_cnt = compact_stream(exp.neigh, exp.valid, k_cap, n)
-        ne = frontier_deg_sum(nxt_ids, deg_pad)
-        return nxt_ids, (nxt_cnt <= k_cap) & (ne <= e_cap)
 
     def finish(labels, neigh_min):
         new = jnp.minimum(labels, neigh_min)
         new = jnp.minimum(new, table_gather(new, new))
         new = jnp.minimum(new, table_gather(new, new))
-        changed_mask = new != labels
-        return new, changed_mask, fits(changed_mask), jnp.any(changed_mask)
+        return new, new != labels
 
     def full_step(labels):
         return finish(labels, slab_spmv(MIN_SECOND, plan, labels, n))
@@ -255,80 +265,9 @@ def _wcc_slab_adaptive_kernel(plan, edges_src, indptr, deg_pad, n,
             rest = jnp.full((plan.rest_rows.shape[0],), INT32_INF, jnp.int32)
         return finish(labels0, assemble(plan, parts, heavy, rest))
 
-    def active_step(labels, act_ids):
-        exp = expand(act_ids, deg_pad, indptr, edges_src, e_cap)
-        lab_at = jnp.where(
-            exp.valid, table_gather(labels, exp.neigh), INT32_INF
-        )
-        indptr_ext = jnp.concatenate(
-            [exp.seg_starts, jnp.full((1,), e_cap, jnp.int32)]
-        )
-        centers_ext = jnp.where(exp.valid, exp.rows_local, jnp.int32(k_cap))
-        mins = seg_min_scan(lab_at, centers_ext, indptr_ext, INT32_INF)[:k_cap]
-        valid_row = act_ids < n
-        old = table_gather(labels, jnp.where(valid_row, act_ids, 0))
-        winners = jnp.minimum(old, mins)
-        changed_row = valid_row & (winners < old)
-        new = labels.at[jnp.where(changed_row, act_ids, jnp.int32(n))].set(
-            jnp.where(changed_row, winners, 0), mode="drop"
-        )
-        ch_edge = exp.valid & (
-            table_gather(changed_row.astype(jnp.int32), exp.rows_local) == 1
-        )
-        nxt_ids, nxt_cnt = compact_stream(exp.neigh, ch_edge, k_cap, n)
-        ne = frontier_deg_sum(nxt_ids, deg_pad)
-        ok = (nxt_cnt <= k_cap) & (ne <= e_cap)
-        return new, nxt_ids, ok, jnp.any(changed_row)
-
-    def full_phase(state):
-        def cond(s):
-            _, _, _, ok, changed, it, _ = s
-            return changed & (it < n) & (~ok)
-
-        def body(s):
-            labels, _, ids, _, _, it, nf = s
-            new, mask, fit, ch = full_step(labels)
-            return new, mask, ids, fit, ch, it + 1, nf + 1
-
-        return jax.lax.while_loop(cond, body, state)
-
-    def active_phase(state):
-        def cond(s):
-            _, _, _, ok, changed, it, _ = s
-            return changed & (it < n) & ok
-
-        def body(s):
-            labels, mask, ids, _, _, it, nf = s
-            new, nids, nok, ch = active_step(labels, ids)
-            return new, mask, nids, nok, ch, it + 1, nf
-
-        return jax.lax.while_loop(cond, body, state)
-
-    labels_init, mask0, fit0, ch0 = iter0_step()
-    state = (
-        labels_init,
-        mask0,
-        jnp.full((k_cap,), n, jnp.int32),
-        fit0,
-        ch0,
-        jnp.int32(1),
-        jnp.int32(1),
+    return _wcc_adaptive_loop(
+        full_step, iter0_step, edges_src, indptr, deg_pad, n, k_cap, e_cap
     )
-
-    def outer_cond(s):
-        _, _, _, _, changed, it, _ = s
-        return changed & (it < n)
-
-    def outer_body(s):
-        s = full_phase(s)
-        labels, mask, _, ok, changed, it, nf = s
-        ids, ok2 = derive(mask)
-        return active_phase((labels, mask, ids, ok & ok2, changed, it, nf))
-
-    labels, _, _, _, _, it, nf = jax.lax.while_loop(
-        outer_cond, outer_body, state
-    )
-    return labels, it, nf
 
 
 def wcc_adaptive_run(graph: Graph, cfg=None, with_stats: bool = False):

@@ -82,7 +82,7 @@ def extract(vec: jax.Array, idx: jax.Array) -> jax.Array:
     """GrB_Vector_extract: vec[idx] through the fast table gather."""
     from graphtpu.ops.gather import EDGE_STREAM_CHUNK, table_gather
 
-    return table_gather(vec, idx)
+    return table_gather(vec, idx, chunk=EDGE_STREAM_CHUNK)
 
 
 def reduce_vector(monoid: Monoid, vec: jax.Array) -> jax.Array:

@@ -81,7 +81,9 @@ def read_grb(path) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray],
      typecode, typesize) = _SCALARS.unpack_from(raw, off)
     off += _SCALARS.size
 
-    iso = kind > 100
+    # kind >= 100: iso (kind 0 + iso stores exactly 100 — the converter's
+    # unweighted-pattern form)
+    iso = kind >= 100
     if iso:
         kind -= 100
     is_hyper = kind == 1

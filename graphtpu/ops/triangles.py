@@ -622,6 +622,41 @@ def _aggregate_heads(edge_cred_flat, edge_pos, head_perm, head_indptr):
     ).astype(jnp.int64)
 
 
+def bucket_probe_schedule(bucket, probe_mode, max_dispatch_pairs,
+                          pair_cache: dict):
+    """Per-bucket probe scheduling shared by the single-chip and
+    distributed numerators: returns (use_rowblock, rc, pc, pairs, rpd).
+
+    rowblock (default): rc is the plan's row-block width; pair chunks pc
+    are POWER-OF-TWO only (a pc=561 dispatch crashed the TPU worker
+    twice, reproducibly); `pairs` is the (ii, jj) list padded to a pc
+    multiple. Legacy pairs/square: the biggest power-of-two Rc under the
+    old elements budget (divides the plan's r_pad by construction);
+    `pairs` is the take-square triple for pairs mode, None for square.
+    `rpd` bounds one dispatch's pair volume (a single compiled call that
+    runs for minutes trips the TPU worker watchdog)."""
+    w, _ = bucket.slab.shape
+    n_pairs = w * (w - 1) // 2
+    if probe_mode.startswith("rowblock"):
+        rc = bucket.chunk_cols
+        pc = max(1, min(n_pairs, _CHUNK_PROBES // rc))
+        pc = 1 << (pc.bit_length() - 1)
+        pairs = pair_cache.get((w, pc))
+        if pairs is None:
+            pairs = pair_cache[(w, pc)] = _pair_list_padded(w, pc)
+        rpd = max(rc, (max_dispatch_pairs // n_pairs) // rc * rc)
+        return True, rc, pc, pairs, rpd
+    rc_budget = max(1, _CHUNK_ELEMS // (w * w))
+    rc = min(1 << (rc_budget.bit_length() - 1), bucket.chunk_cols)
+    pairs = None
+    if probe_mode.startswith("pairs"):
+        pairs = pair_cache.get(w)
+        if pairs is None:
+            pairs = pair_cache[w] = _pair_tables(w)
+    rpd = max(rc, (max_dispatch_pairs // (w * w)) // rc * rc)
+    return False, rc, 0, pairs, rpd
+
+
 def lcc_oriented_numerator(plan: WedgePlan, progress: bool = False) -> np.ndarray:
     """Numerator per ORIGINAL vertex id: Σ over triangles at v of the
     stored-direction multiplicity of the opposite edge."""
@@ -638,39 +673,14 @@ def lcc_oriented_numerator(plan: WedgePlan, progress: bool = False) -> np.ndarra
     # "*-sorted" issues row gathers in sorted order
     # (edgehash._probe_lanes_sorted locality A/B)
     probe_mode = _os.environ.get("GRAPHTPU_LCC_PROBE", "rowblock")
-    use_rowblock = probe_mode.startswith("rowblock")
-    use_pairs = probe_mode.startswith("pairs")
     sort_probes = probe_mode.endswith("-sorted")
     pair_cache: dict = {}
-    # cap the pair count per dispatch: a single compiled call that runs
-    # for minutes trips the TPU worker's watchdog ("worker crashed")
     max_dispatch_pairs = 1 << 30
     for b in plan.buckets:
         w, r_pad = b.slab.shape
-        n_pairs = w * (w - 1) // 2
-        if use_rowblock:
-            rc = b.chunk_cols
-            # power-of-two pair chunks only: a pc=561 (W=34 full pair
-            # list) dispatch crashed the TPU worker twice reproducibly;
-            # every measured-good shape used pow2 pc
-            pc = max(1, min(n_pairs, _CHUNK_PROBES // rc))
-            pc = 1 << (pc.bit_length() - 1)
-            pairs = pair_cache.get((w, pc))
-            if pairs is None:
-                pairs = pair_cache[(w, pc)] = _pair_list_padded(w, pc)
-            rpd = max(rc, (max_dispatch_pairs // n_pairs) // rc * rc)
-        else:
-            # legacy kernels: largest power-of-two Rc that satisfies the
-            # old elements budget (plan r_pad is a multiple of a power of
-            # two >= it, so divisibility holds)
-            rc_budget = max(1, _CHUNK_ELEMS // (w * w))
-            rc = min(1 << (rc_budget.bit_length() - 1), b.chunk_cols)
-            pairs = None
-            if use_pairs:
-                pairs = pair_cache.get(w)
-                if pairs is None:
-                    pairs = pair_cache[w] = _pair_tables(w)
-            rpd = max(rc, (max_dispatch_pairs // (w * w)) // rc * rc)
+        use_rowblock, rc, pc, pairs, rpd = bucket_probe_schedule(
+            b, probe_mode, max_dispatch_pairs, pair_cache
+        )
         u_parts, e_parts = [], []
         for r0 in range(0, r_pad, rpd):
             r1 = min(r0 + rpd, r_pad)

@@ -35,8 +35,6 @@ from graphtpu.ops.gather import table_gather
 from graphtpu.ops.scan_reduce import seg_sum_scan
 from graphtpu.ops.triangles import (
     WedgePlan,
-    _CHUNK_ELEMS,
-    _CHUNK_PROBES,
     _patch_spilled,
     _wedge_bucket,
     _wedge_bucket_rowblock,
@@ -189,8 +187,6 @@ def lcc_oriented_dist_numerator(plan: WedgePlan, mesh) -> np.ndarray:
     dev_slabs = []
     # same probe-mode knob as the single-chip path (rowblock by default)
     probe_mode = _os.environ.get("GRAPHTPU_LCC_PROBE", "rowblock")
-    use_rowblock = probe_mode.startswith("rowblock")
-    use_pairs = probe_mode.startswith("pairs")
     sort_probes = probe_mode.endswith("-sorted")
     pair_cache: dict = {}
 
@@ -217,30 +213,11 @@ def lcc_oriented_dist_numerator(plan: WedgePlan, mesh) -> np.ndarray:
         )
         dev_slabs.append(dev_slab)
 
-        n_pairs = w * (w - 1) // 2
-        if use_rowblock:
-            rc = b.chunk_cols
-            pc = max(1, min(n_pairs, _CHUNK_PROBES // rc))
-            pc = 1 << (pc.bit_length() - 1)  # pow2 only (see triangles.py)
-            from graphtpu.ops.triangles import _pair_list_padded
+        from graphtpu.ops.triangles import bucket_probe_schedule
 
-            pairs = pair_cache.get((w, pc))
-            if pairs is None:
-                pairs = pair_cache[(w, pc)] = _pair_list_padded(w, pc)
-            rpd = max(rc, (_MAX_DISPATCH_PAIRS // n_pairs) // rc * rc)
-        else:
-            # legacy kernels need the old elements budget: biggest
-            # power-of-two Rc under it (divides the plan's r_pad)
-            rc_budget = max(1, _CHUNK_ELEMS // (w * w))
-            rc = min(1 << (rc_budget.bit_length() - 1), b.chunk_cols)
-            pairs = None
-            if use_pairs:
-                pairs = pair_cache.get(w)
-                if pairs is None:
-                    from graphtpu.ops.triangles import _pair_tables
-
-                    pairs = pair_cache[w] = _pair_tables(w)
-            rpd = max(rc, (_MAX_DISPATCH_PAIRS // (w * w)) // rc * rc)
+        use_rowblock, rc, pc, pairs, rpd = bucket_probe_schedule(
+            b, probe_mode, _MAX_DISPATCH_PAIRS, pair_cache
+        )
 
         # probe, slicing columns to bound per-device dispatch size
         u_full = np.zeros(r_tot, dtype=np.int64)

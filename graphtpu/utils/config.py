@@ -160,7 +160,10 @@ class PlatformConfig:
     sssp_active_threshold: float = 0.05
     sssp_frontier_rows: int = 1 << 16
     sssp_frontier_edges: int = 1 << 18
-    wcc_impl: str = "auto"    # auto|adaptive|device; dense (distributed only)
+    # auto = slab (adaptive with slab-plan full steps, measured 1.64x
+    # the edge-stream variant at s20/ef32); adaptive = edge-stream full
+    # steps; device = dense while_loop; dense (distributed only)
+    wcc_impl: str = "auto"    # auto|slab|adaptive|device
     wcc_frontier_rows: int = 1 << 16
     wcc_frontier_edges: int = 1 << 18
     # slab (padded-ELL) degree bucket boundaries for CDLP/LCC kernels;

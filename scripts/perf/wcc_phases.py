@@ -128,6 +128,7 @@ labels, it, stats = wcc_adaptive_run(g, cfg, with_stats=True)
 fence(labels)
 dt = time.perf_counter() - t0
 roof = rl.wcc_executed_roof(stats["full_steps"], stats["active_steps"],
-                            m, n, stats["e_cap"])
+                            m, n, stats["e_cap"],
+                            stats.get("plan_gathers"))
 print(f"  adaptive kernel ({stats}): {dt:0.3f} s  roof {roof:0.3f} s  "
       f"sol {100*roof/dt:5.1f}%", flush=True)
