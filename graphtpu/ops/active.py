@@ -97,24 +97,35 @@ def _slice_incidence(ids: np.ndarray, deg: np.ndarray, indptr: np.ndarray):
 
 @partial(
     jax.jit,
-    static_argnames=("itermax", "first_iter_min", "k_cap", "e_cap"),
+    static_argnames=("itermax", "first_iter_min", "tiers"),
 )
 def _cdlp_adaptive_kernel(
     plan, deg_pad, indptr_pad, neigh_dev, labels0,
-    itermax, first_iter_min, k_cap, e_cap,
+    itermax, first_iter_min, tiers,
 ):
-    """Single-dispatch convergence-adaptive CDLP: the whole itermax run is
-    ONE compiled program. Full slab steps run while the active set exceeds
-    the static frontier capacities; once it fits, compacted active-set
-    steps update only the rows adjacent to a changed vertex — all
-    compaction on device (graphtpu/ops/frontier.py), zero host↔device
-    traffic between iterations (the host-driven variant pays per-iteration
-    transfers, which this environment's TPU relay serves at ~1 MB/s).
+    """Single-dispatch convergence-adaptive CDLP with a TIERED active
+    ladder: the whole itermax run is ONE compiled program. Full slab
+    steps run while the active set exceeds every tier; otherwise the
+    SMALLEST tier whose (rows, edges) budget fits runs a compacted
+    active-set step — the BFS push-tier ladder (algorithms/bfs.py)
+    applied to label propagation. The round-4 motivation: an active
+    step's cost splits into a ~15 ms step floor plus e-linear work
+    (scripts/perf/step_floor_bench.py), while a full slab sweep costs
+    ~200 ms at s20/ef32 — so a 2^22-edge tier (~64 ms) beats a full
+    sweep for the mid-convergence iterations that used to overflow the
+    single 2^18 cap, and the 2^18 tier keeps the tail at ~17 ms.
 
-    Control flow is two nested phase loops instead of a lax.cond in the
-    body: measured on this TPU, a cond inside while_loop schedules both
-    branches every iteration, which would charge the full-step cost to
-    every active-set iteration.
+    `tiers` is an ascending tuple of (rows, edges) budgets; the routing
+    signal is the EXACT (count, edge-sum) of the next active set, which
+    every tier step computes for its successor; full steps route via
+    cheap changed-mask statistics and a derive() at the phase boundary
+    (the expansion stays OUT of the full-step loop body — fusing it in
+    blew the TPU's scoped-vmem budget). All compaction on device
+    (graphtpu/ops/frontier.py), zero host-device traffic between
+    iterations. Control flow is nested phase loops instead of lax.cond
+    in the body: a cond inside while_loop schedules both branches on
+    TPU, which would charge the full-step cost to every active
+    iteration.
     """
     from graphtpu.ops.frontier import (
         compact,
@@ -125,88 +136,103 @@ def _cdlp_adaptive_kernel(
 
     n = labels0.shape[0]
     deg_n = deg_pad[:-1]
+    T = len(tiers)
+    k_max, e_max = tiers[-1]
+    IMAX = jnp.int32(np.iinfo(np.int32).max)
+    FULL = T
 
-    def fits(changed_mask):
-        """Cheap mask statistics only — the expansion that turns a changed
-        mask into active ids runs OUTSIDE the full-step loop body (once
-        per phase transition): fusing it into the body blew the TPU's
-        scoped-vmem budget."""
+    def chosen(acnt, ae):
+        """Smallest tier whose budgets fit; T (full) if none. acnt of
+        -1 (derive pending) routes to full until the boundary derive."""
+        c = jnp.int32(FULL)
+        for i in range(T - 1, -1, -1):
+            k_i, e_i = tiers[i]
+            c = jnp.where((acnt >= 0) & (acnt <= k_i) & (ae <= e_i),
+                          jnp.int32(i), c)
+        return c
+
+    def fits_mask(changed_mask):
+        """Cheap changed-mask statistics against the LARGEST tier —
+        necessary for any tier to fit; derive() then measures the real
+        active set."""
         cnt = jnp.sum(changed_mask, dtype=jnp.int32)
         ce = jnp.sum(jnp.where(changed_mask, deg_n, 0), dtype=jnp.int32)
-        return (cnt <= k_cap) & (ce <= e_cap)
+        return (cnt <= k_max) & (ce <= e_max)
 
     def derive(changed_mask):
-        """Active set = union of the changed vertices' incidence lists.
-        Callers must have checked fits(changed_mask)."""
-        ids, _ = compact(changed_mask, k_cap)
-        exp = expand(ids, deg_pad, indptr_pad, neigh_dev, e_cap)
-        nxt_ids, nxt_cnt = compact_stream(exp.neigh, exp.valid, k_cap, n)
+        """Active set = union of the changed vertices' incidence lists,
+        at the largest tier's sizes. Callers must have checked
+        fits_mask."""
+        ids, _ = compact(changed_mask, k_max)
+        exp = expand(ids, deg_pad, indptr_pad, neigh_dev, e_max)
+        nxt_ids, nxt_cnt = compact_stream(exp.neigh, exp.valid, k_max, n)
         ne = frontier_deg_sum(nxt_ids, deg_pad)
-        ok = (nxt_cnt <= k_cap) & (ne <= e_cap)
-        return nxt_ids, ok
+        return nxt_ids, nxt_cnt, ne
 
     def full_step(labels):
         new = cdlp_step(labels, plan)
         changed_mask = new != labels
-        return new, changed_mask, fits(changed_mask), jnp.any(changed_mask)
+        # acnt sentinel: -1 = "fits, derive at the boundary", IMAX = stay
+        acnt = jnp.where(fits_mask(changed_mask), jnp.int32(-1), IMAX)
+        return new, changed_mask, acnt, jnp.any(changed_mask)
 
-    def active_step(labels, act_ids):
-        exp = expand(act_ids, deg_pad, indptr_pad, neigh_dev, e_cap)
-        # pad slots route to a dedicated extra segment so they can't
-        # pollute the last real row's mode count
-        centers_ext = jnp.where(exp.valid, exp.rows_local, jnp.int32(k_cap))
-        indptr_ext = jnp.concatenate(
-            [exp.seg_starts, jnp.full((1,), e_cap, jnp.int32)]
-        )
-        winners = stream_minmode(labels, centers_ext, exp.neigh, indptr_ext, n)[
-            :k_cap
-        ]
-        valid_row = act_ids < n
-        old = table_gather(labels, jnp.where(valid_row, act_ids, 0))
-        changed_row = valid_row & (winners != old)
-        new = labels.at[jnp.where(changed_row, act_ids, jnp.int32(n))].set(
-            jnp.where(changed_row, winners, 0), mode="drop"
-        )
-        # next active set: stream entries whose center row changed — the
-        # step's own expansion already holds exactly those neighbors
-        ch_edge = exp.valid & (
-            table_gather(changed_row.astype(jnp.int32), exp.rows_local) == 1
-        )
-        nxt_ids, nxt_cnt = compact_stream(exp.neigh, ch_edge, k_cap, n)
-        ne = frontier_deg_sum(nxt_ids, deg_pad)
-        ok = (nxt_cnt <= k_cap) & (ne <= e_cap)
-        return new, nxt_ids, ok, jnp.any(changed_row)
+    def make_tier_step(i):
+        k_i, e_i = tiers[i]
 
-    # state: (labels, changed/active mask, active ids, ok, changed, it, nf)
-    # nf counts FULL slab steps (iteration 0 included) so executed-volume
-    # rooflines can be built from work actually done (VERDICT r3 #3):
-    # every phase's shapes are static, so (nf, it-nf) fully determine the
-    # executed primitive volume.
+        def tier_step(s):
+            labels, mask, ids, _, _, _, it, nf = s
+            ids_i = jax.lax.slice_in_dim(ids, 0, k_i)   # sorted, pad = n
+            exp = expand(ids_i, deg_pad, indptr_pad, neigh_dev, e_i)
+            centers_ext = jnp.where(exp.valid, exp.rows_local, jnp.int32(k_i))
+            indptr_ext = jnp.concatenate(
+                [exp.seg_starts, jnp.full((1,), e_i, jnp.int32)]
+            )
+            winners = stream_minmode(
+                labels, centers_ext, exp.neigh, indptr_ext, n
+            )[:k_i]
+            valid_row = ids_i < n
+            old = table_gather(labels, jnp.where(valid_row, ids_i, 0))
+            changed_row = valid_row & (winners != old)
+            new = labels.at[
+                jnp.where(changed_row, ids_i, jnp.int32(n))
+            ].set(jnp.where(changed_row, winners, 0), mode="drop")
+            # next active set: stream entries whose center row changed —
+            # the step's own expansion already holds those neighbors
+            ch_edge = exp.valid & (
+                table_gather(changed_row.astype(jnp.int32), exp.rows_local)
+                == 1
+            )
+            nxt_ids, nxt_cnt = compact_stream(exp.neigh, ch_edge, k_max, n)
+            ne = frontier_deg_sum(nxt_ids, deg_pad)
+            return (new, mask, nxt_ids, nxt_cnt, ne,
+                    jnp.any(changed_row), it + 1, nf)
+
+        return tier_step
+
+    # state: (labels, mask, ids[k_max], acnt, ae, ch, it, nf)
     def full_phase(state):
         def cond(s):
-            _, _, _, ok, changed, it, _ = s
-            return changed & (it < itermax) & (~ok)
+            _, _, _, acnt, _, ch, it, _ = s
+            return ch & (it < itermax) & (acnt == IMAX)
 
         def body(s):
-            labels, _, ids, _, _, it, nf = s
-            new, mask, fit, ch = full_step(labels)
-            return new, mask, ids, fit, ch, it + 1, nf + 1
+            labels, _, ids, _, ae, _, it, nf = s
+            new, mask, acnt, ch = full_step(labels)
+            return new, mask, ids, acnt, ae, ch, it + 1, nf + 1
 
         return jax.lax.while_loop(cond, body, state)
 
-    def active_phase(state):
-        def cond(s):
-            _, _, _, ok, changed, it, _ = s
-            return changed & (it < itermax) & ok
+    def make_tier_phase(i, step):
+        def phase(state):
+            def cond(s):
+                _, _, _, acnt, ae, ch, it, _ = s
+                return ch & (it < itermax) & (chosen(acnt, ae) == i)
 
-        def body(s):
-            labels, mask, ids, _, _, it, nf = s
-            # mask passes through untouched: it is only consumed by the
-            # full->active transition, which always follows >=1 full step
-            new, nids, nok, ch = active_step(labels, ids)
-            return new, mask, nids, nok, ch, it + 1, nf
+            return jax.lax.while_loop(cond, step, state)
 
-        return jax.lax.while_loop(cond, body, state)
+        return phase
+
+    tier_phases = [make_tier_phase(i, make_tier_step(i)) for i in range(T)]
 
     if itermax >= 1:
         # iteration 0 is always gather-free (labels0 is the identity):
@@ -220,34 +246,50 @@ def _cdlp_adaptive_kernel(
             else _iter0_mode(plan, labels0)
         )
         mask0 = labels_init != labels0
+        acnt0 = jnp.where(fits_mask(mask0), jnp.int32(-1), IMAX)
         state = (
-            labels_init, mask0, jnp.full((k_cap,), n, jnp.int32),
-            fits(mask0), jnp.any(mask0), jnp.int32(1), jnp.int32(1),
+            labels_init, mask0, jnp.full((k_max,), n, jnp.int32),
+            acnt0, jnp.int32(0), jnp.any(mask0), jnp.int32(1), jnp.int32(1),
         )
     else:
         state = (
             labels0,
             jnp.zeros((n,), bool),
-            jnp.full((k_cap,), n, jnp.int32),
-            jnp.bool_(False),
+            jnp.full((k_max,), n, jnp.int32),
+            IMAX,
+            jnp.int32(0),
             jnp.bool_(True),
             jnp.int32(0),
             jnp.int32(0),
         )
 
     def outer_cond(s):
-        _, _, _, _, changed, it, _ = s
-        return changed & (it < itermax)
+        _, _, _, _, _, ch, it, _ = s
+        return ch & (it < itermax)
 
     def outer_body(s):
         s = full_phase(s)
-        labels, mask, _, ok, changed, it, nf = s
-        # phase transition: expand the changed mask into the active set
-        # (the expensive expansion runs once here, not in the loop body)
-        ids, ok2 = derive(mask)
-        return active_phase((labels, mask, ids, ok & ok2, changed, it, nf))
+        labels, mask, ids, acnt, ae, ch, it, nf = s
+        # phase boundary: expand the changed mask into the active set.
+        # Computed unconditionally (an outer-body lax.cond would schedule
+        # both branches anyway) but only ADOPTED when a full step just
+        # requested it (acnt == -1); tier-step routing keeps its exact
+        # counts otherwise. Runs once per phase switch, not per step.
+        d_ids, d_cnt, d_ne = derive(mask)
+        need = acnt == jnp.int32(-1)
+        ids = jnp.where(need, d_ids, ids)
+        acnt = jnp.where(need, d_cnt, acnt)
+        ae = jnp.where(need, d_ne, ae)
+        # forward progress: when the EXACT active set exceeds every tier
+        # (mask stats fit but the neighbor union doesn't), route back to
+        # full — otherwise no phase's cond holds and the outer loop spins
+        acnt = jnp.where(chosen(acnt, ae) == FULL, IMAX, acnt)
+        s = (labels, mask, ids, acnt, ae, ch, it, nf)
+        for ph in tier_phases:
+            s = ph(s)
+        return s
 
-    labels, _, _, _, _, it, nf = jax.lax.while_loop(
+    labels, _, _, _, _, _, it, nf = jax.lax.while_loop(
         outer_cond, outer_body, state
     )
     return labels, it, nf
@@ -282,6 +324,34 @@ def prepare_cdlp_adaptive(graph, centers, neigh, deg, cfg=None) -> AdaptivePrep:
     )
 
 
+def cdlp_tiers(k_cap: int, e_cap: int, m_inc: int, cfg=None) -> tuple:
+    """Active-tier budgets for the tiered CDLP kernel. DEFAULT: the
+    single configured (cdlp-frontier-rows/edges) tier — the round-4
+    escalating ladder (2^18/2^20/2^22) was MEASURED SLOWER on the
+    headline graph (1.11 s vs 0.91 s at s20/ef32): power-law CDLP's
+    changed set collapses abruptly after the heavy iterations (it0-it3
+    genuinely need full sweeps; it4+ fit the small tier), so there is
+    no intermediate regime for the big tiers to win, and the ladder's
+    larger boundary derive + tail buffers only add cost. `cdlp-tiers`
+    (comma edge budgets) still enables a ladder for graphs with slower
+    churn decay; row budgets derive as min(max(k, e/16), 2^18) — rows
+    only size the ids/winner/scatter buffers (the BFS ladder's rule).
+    m_inc is accepted for ladder validation (budgets beyond m_inc/4
+    cost more than the slab sweep they replace and are dropped)."""
+    cfg_tiers = getattr(cfg, "cdlp_tiers", "") or ""
+    if cfg_tiers:
+        edge_tiers = sorted({int(t) for t in str(cfg_tiers).split(",") if t})
+        edge_tiers = (
+            [e for e in edge_tiers if e <= max(m_inc // 4, edge_tiers[0])]
+            or edge_tiers[:1]
+        )
+    else:
+        edge_tiers = [e_cap]
+    return tuple(
+        (min(max(k_cap, e // 16), 1 << 18), e) for e in edge_tiers
+    )
+
+
 def cdlp_adaptive_device_run(graph, centers, neigh, deg, itermax, cfg=None,
                              prep: AdaptivePrep | None = None,
                              with_stats: bool = False):
@@ -293,6 +363,7 @@ def cdlp_adaptive_device_run(graph, centers, neigh, deg, itermax, cfg=None,
     n = graph.n
     k_cap = int(getattr(cfg, "cdlp_frontier_rows", 0) or 1 << 16)
     e_cap = int(getattr(cfg, "cdlp_frontier_edges", 0) or 1 << 18)
+    tiers = cdlp_tiers(k_cap, e_cap, int(np.asarray(deg).sum()), cfg)
     labels0 = jnp.arange(n, dtype=jnp.int32)
     labels, it, nf = _cdlp_adaptive_kernel(
         prep.plan,
@@ -302,8 +373,7 @@ def cdlp_adaptive_device_run(graph, centers, neigh, deg, itermax, cfg=None,
         labels0,
         int(itermax),
         not graph.directed,
-        k_cap,
-        e_cap,
+        tiers,
     )
     if with_stats:
         # one D2H for both counters (separate int() transfers cost a

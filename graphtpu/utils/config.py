@@ -141,6 +141,11 @@ class PlatformConfig:
     # expensive (2^23 edges measured 310 ms/iter vs ~20 ms at 2^18).
     cdlp_frontier_rows: int = 1 << 16
     cdlp_frontier_edges: int = 1 << 18
+    # explicit active-tier edge budgets for the tiered CDLP kernel
+    # (comma list); empty = the single cdlp-frontier tier — a 4x
+    # escalating ladder measured SLOWER at s20/ef32 (ops/active.py
+    # cdlp_tiers has the analysis)
+    cdlp_tiers: str = ""
     bfs_impl: str = "auto"    # auto|adaptive|hybrid|device; dense (distributed only)
     # run BFS levels whose frontier touches less than this fraction of the
     # edges as host expansions instead of dense device steps (hybrid impl)
@@ -230,6 +235,7 @@ _PLATFORM_PROPS = {
     "platform.graphtpu.cdlp-active-threshold": ("cdlp_active_threshold", float),
     "platform.graphtpu.cdlp-frontier-rows": ("cdlp_frontier_rows", int),
     "platform.graphtpu.cdlp-frontier-edges": ("cdlp_frontier_edges", int),
+    "platform.graphtpu.cdlp-tiers": ("cdlp_tiers", str),
     "platform.graphtpu.bfs-impl": ("bfs_impl", str),
     "platform.graphtpu.bfs-active-threshold": ("bfs_active_threshold", float),
     "platform.graphtpu.bfs-frontier-rows": ("bfs_frontier_rows", int),
