@@ -452,7 +452,7 @@ def main() -> None:
                         sssp_s = time.perf_counter() - t0
                         roof_exec = rl.sssp_executed_roof(
                             st["full_steps"], st["active_steps"], gw.nnz,
-                            gw.n, st["e_cap"],
+                            gw.n, st["e_cap"], st,
                         )
                         extra = dict(
                             sssp_full_steps=st["full_steps"],

@@ -77,82 +77,133 @@ def _sssp_dense_step(dist, edges_src, edges_dst, indptr, edges_w, n, impl="scan"
     return new, new < dist
 
 
-@partial(jax.jit, static_argnames=("n", "k_cap", "e_cap", "impl"))
+@partial(jax.jit, static_argnames=("n", "tiers", "impl"))
 def _sssp_adaptive_kernel(
     dist0, src, edges_src, edges_dst, pull_indptr, pull_w,
-    deg_pad, push_indptr, push_dst, push_w, n, k_cap, e_cap, impl="scan",
+    deg_pad, push_indptr, push_dst, push_w, n, tiers, impl="scan",
 ):
-    """Single-dispatch changed-set Bellman-Ford: rounds whose changed set
-    fits the static frontier capacities relax only those vertices'
-    out-edges through the compacted frontier engine; heavy rounds run the
-    dense sweep. One jit dispatch for the whole fixed-point iteration
-    (structure mirrors _bfs_adaptive_kernel / _cdlp_adaptive_kernel)."""
+    """Single-dispatch changed-set Bellman-Ford with a TIERED frontier
+    ladder: rounds whose changed set fits a tier's static (rows, edges)
+    budget relax only those vertices' out-edges through the compacted
+    frontier engine at the SMALLEST fitting tier; heavier rounds run the
+    dense sweep. One jit dispatch for the whole fixed-point iteration.
+
+    Unlike CDLP (where a ladder measured slower — the changed set
+    collapses abruptly, ops/active.py cdlp_tiers), SSSP's cost lives in
+    the active steps on high-diameter graphs: the 512^2 torus ran 560
+    rounds of ~2k-vertex wavefronts, and shrinking the step budget from
+    (2^16, 2^18) to (2^13, 2^15) measured 3.67 -> 1.47 s — 2.1x FASTER
+    than the dense sweep that used to win that regime. The ladder gives
+    small wavefronts the small budget and power-law mid-rounds the big
+    one without config.
+
+    SSSP's active set is the changed vertices themselves (no neighbor
+    union), so tier routing is exact and cheap: one n-mask compact +
+    two mask reductions per step."""
     from graphtpu.ops.frontier import compact, expand
     from graphtpu.ops.gather import table_gather
 
     deg_n = deg_pad[:-1]
+    T = len(tiers)
+    FULL = T
+    k_max = tiers[-1][0]
+    IMAX = jnp.int32(np.iinfo(np.int32).max)
+
+    def chosen(acnt, ae):
+        c = jnp.int32(FULL)
+        for i in range(T - 1, -1, -1):
+            k_i, e_i = tiers[i]
+            c = jnp.where((acnt <= k_i) & (ae <= e_i), jnp.int32(i), c)
+        return c
 
     def derive(changed_mask):
-        ids, cnt = compact(changed_mask, k_cap)
+        ids, cnt = compact(changed_mask, k_max)
         fe = jnp.sum(jnp.where(changed_mask, deg_n, 0), dtype=jnp.int32)
-        ok = (cnt <= k_cap) & (fe <= e_cap)
-        return ids, ok, cnt > 0
+        return ids, cnt, fe
 
     def full_step(dist):
         new, changed_mask = _sssp_dense_step(
             dist, edges_src, edges_dst, pull_indptr, pull_w, n, impl
         )
-        ids, ok, nonempty = derive(changed_mask)
-        return new, ids, ok, nonempty
+        ids, acnt, ae = derive(changed_mask)
+        return new, ids, acnt, ae
 
-    def active_step(dist, ids):
-        exp = expand(ids, deg_pad, push_indptr, push_dst, e_cap)
-        du = table_gather(dist, jnp.where(exp.valid, exp.row_ids, 0))
-        cand = du + table_gather(push_w, exp.gpos)
-        targets = jnp.where(exp.valid, exp.neigh, jnp.int32(n))
-        new = dist.at[targets].min(jnp.where(exp.valid, cand, jnp.inf),
-                                   mode="drop")
-        changed_mask = new < dist
-        ids2, ok, nonempty = derive(changed_mask)
-        return new, ids2, ok, nonempty
+    def make_tier_step(i):
+        k_i, e_i = tiers[i]
 
+        def tier_step(s):
+            dist, ids, _, _, it, counts = s
+            counts = counts.at[i].add(1)
+            ids_i = jax.lax.slice_in_dim(ids, 0, k_i)  # sorted, pad = n
+            exp = expand(ids_i, deg_pad, push_indptr, push_dst, e_i)
+            du = table_gather(dist, jnp.where(exp.valid, exp.row_ids, 0))
+            cand = du + table_gather(push_w, exp.gpos)
+            targets = jnp.where(exp.valid, exp.neigh, jnp.int32(n))
+            new = dist.at[targets].min(
+                jnp.where(exp.valid, cand, jnp.inf), mode="drop"
+            )
+            ids2, acnt, ae = derive(new < dist)
+            return new, ids2, acnt, ae, it + 1, counts
+
+        return tier_step
+
+    # state: (dist, ids[k_max], acnt, ae, it, counts[T+1]); acnt==0 ends
     def full_phase(state):
         def cond(s):
-            _, _, ok, nonempty, it, _ = s
-            return nonempty & (~ok) & (it < n)
+            _, _, acnt, ae, it, _ = s
+            return (acnt > 0) & (chosen(acnt, ae) == FULL) & (it < n)
 
         def body(s):
-            dist, _, _, _, it, nf = s
-            new, ids, ok, nonempty = full_step(dist)
-            return new, ids, ok, nonempty, it + 1, nf + 1
+            dist, _, _, _, it, counts = s
+            new, ids, acnt, ae = full_step(dist)
+            return new, ids, acnt, ae, it + 1, counts.at[FULL].add(1)
 
         return jax.lax.while_loop(cond, body, state)
 
-    def active_phase(state):
-        def cond(s):
-            _, _, ok, nonempty, it, _ = s
-            return nonempty & ok & (it < n)
+    def make_tier_phase(i, step):
+        def phase(state):
+            def cond(s):
+                _, _, acnt, ae, it, _ = s
+                return (acnt > 0) & (chosen(acnt, ae) == i) & (it < n)
 
-        def body(s):
-            dist, ids, _, _, it, nf = s
-            new, ids2, ok, nonempty = active_step(dist, ids)
-            return new, ids2, ok, nonempty, it + 1, nf
+            return jax.lax.while_loop(cond, step, state)
 
-        return jax.lax.while_loop(cond, body, state)
+        return phase
+
+    tier_phases = [make_tier_phase(i, make_tier_step(i)) for i in range(T)]
 
     fmask0 = jnp.zeros((n,), bool).at[src].set(True)
-    ids0, ok0, nonempty0 = derive(fmask0)
-    state = (dist0, ids0, ok0, nonempty0, jnp.int32(0), jnp.int32(0))
+    ids0, acnt0, ae0 = derive(fmask0)
+    state = (dist0, ids0, acnt0, ae0, jnp.int32(0),
+             jnp.zeros((T + 1,), jnp.int32))
 
     def outer_cond(s):
-        _, _, _, nonempty, it, _ = s
-        return nonempty & (it < n)
+        _, _, acnt, _, it, _ = s
+        return (acnt > 0) & (it < n)
 
     def outer_body(s):
-        return full_phase(active_phase(s))
+        for ph in tier_phases:
+            s = ph(s)
+        return full_phase(s)
 
-    dist, _, _, _, it, nf = jax.lax.while_loop(outer_cond, outer_body, state)
-    return dist, it, nf
+    dist, _, _, _, it, counts = jax.lax.while_loop(
+        outer_cond, outer_body, state
+    )
+    return dist, it, counts
+
+
+def sssp_tiers(k_cap: int, e_cap: int, cfg=None) -> tuple:
+    """Frontier ladder for the tiered SSSP: a small tier at 1/8 the
+    configured budgets (the torus-measured winner for thin wavefronts)
+    under the configured (sssp-frontier-rows/edges) tier. `sssp-tiers`
+    (comma edge budgets, rows = e/4 capped at the configured rows)
+    overrides."""
+    cfg_tiers = getattr(cfg, "sssp_tiers", "") or ""
+    if cfg_tiers:
+        edge_tiers = sorted({int(t) for t in str(cfg_tiers).split(",") if t})
+        return tuple((min(k_cap, max(e // 4, 1)), e) for e in edge_tiers)
+    small = (max(k_cap // 8, 1), max(e_cap // 8, 1))
+    return (small, (k_cap, e_cap)) if small != (k_cap, e_cap) else ((k_cap, e_cap),)
 
 
 @partial(jax.jit, static_argnames=("n", "k_cap", "e_cap", "impl"))
@@ -419,8 +470,9 @@ def sssp_adaptive_run(graph: Graph, src_dense: int, cfg=None, dtype=np.float32,
     )
     k_cap = int(getattr(cfg, "sssp_frontier_rows", 0) or 1 << 16)
     e_cap = int(getattr(cfg, "sssp_frontier_edges", 0) or 1 << 18)
+    tiers = sssp_tiers(k_cap, e_cap, cfg)
     dist0 = jnp.full((n,), jnp.inf, dtype=dtype).at[src_dense].set(0.0)
-    dist, niter, nfull = _sssp_adaptive_kernel(
+    dist, niter, counts = _sssp_adaptive_kernel(
         dist0,
         jnp.int32(src_dense),
         coo.src,
@@ -432,21 +484,22 @@ def sssp_adaptive_run(graph: Graph, src_dense: int, cfg=None, dtype=np.float32,
         push_dst,
         push_w,
         n,
-        k_cap,
-        e_cap,
+        tiers,
         getattr(cfg, "spmv_impl", "scan") or "scan",
     )
     if with_stats:
-        # one D2H for both counters (a separate int() per scalar costs a
+        # one D2H for every counter (a separate int() per scalar costs a
         # ~25 ms relay roundtrip each inside bench timed regions)
-        niter, nfull = (int(v) for v in jax.device_get((niter, nfull)))
+        niter, c = jax.device_get((niter, counts))
         stats = {
-            "full_steps": nfull,
-            "active_steps": niter - nfull,
+            "full_steps": int(c[-1]),
+            "active_steps": int(niter) - int(c[-1]),
+            "tier_steps": {int(e): int(c[i]) for i, (_, e) in enumerate(tiers)},
+            "tiers": [(int(k), int(e)) for k, e in tiers],
             "e_cap": e_cap,
             "k_cap": k_cap,
         }
-        return np.asarray(dist), niter, stats
+        return np.asarray(dist), int(niter), stats
     return np.asarray(dist), int(niter)
 
 
@@ -526,13 +579,14 @@ def sssp(graph: Graph, params: AlgorithmParams, cfg: PlatformConfig) -> Algorith
     # auto == adaptive, by measurement, not by assumption: the round-4
     # TPU A/B (scripts/perf/measure_sssp.py, ROADMAP round-4 table) ran
     # adaptive vs delta(2.5/0.5/0.25/0.1) vs dense on BOTH regimes —
-    # power-law (RMAT s20/ef16-w: adaptive 1.06 s < delta 1.21-1.57 s <
+    # power-law (RMAT s20/ef16-w: adaptive 1.01 s < delta 1.21-1.57 s <
     # dense 1.47 s) and high-diameter (512^2 torus, 560 hop rounds:
-    # dense 3.15 s < adaptive 3.74 s << delta 5.8-29.7 s, degrading as
-    # Delta shrinks). On a TPU every round costs a full static-shaped
-    # sweep, so delta-stepping's re-relaxation savings never repay its
-    # extra bucket rounds — there is NO crossover at which auto should
-    # pick it. delta stays as the reference-parity arm (sssp.cpp:70-78).
+    # TIERED adaptive 1.54 s < dense 3.15 s << delta 5.8-29.7 s,
+    # degrading as Delta shrinks). On a TPU every round costs its
+    # tier's static-shaped step, so delta-stepping's re-relaxation
+    # savings never repay its extra bucket rounds — there is NO
+    # crossover at which auto should pick anything else. delta stays as
+    # the reference-parity arm (sssp.cpp:70-78).
     if impl in ("auto", "adaptive"):
         dist, niter = sssp_adaptive_run(graph, src_dense, cfg, dtype)
         return AlgorithmResult(

@@ -165,6 +165,11 @@ class PlatformConfig:
     sssp_active_threshold: float = 0.05
     sssp_frontier_rows: int = 1 << 16
     sssp_frontier_edges: int = 1 << 18
+    # explicit frontier-tier edge budgets for the tiered SSSP kernel
+    # (comma list); empty = (e/8, e) ladder — the small tier measured
+    # 2.5x on thin high-diameter wavefronts (algorithms/sssp.py
+    # sssp_tiers)
+    sssp_tiers: str = ""
     # auto = slab (adaptive with slab-plan full steps, measured 1.64x
     # the edge-stream variant at s20/ef32); adaptive = edge-stream full
     # steps; device = dense while_loop; dense (distributed only)
@@ -236,6 +241,7 @@ _PLATFORM_PROPS = {
     "platform.graphtpu.cdlp-frontier-rows": ("cdlp_frontier_rows", int),
     "platform.graphtpu.cdlp-frontier-edges": ("cdlp_frontier_edges", int),
     "platform.graphtpu.cdlp-tiers": ("cdlp_tiers", str),
+    "platform.graphtpu.sssp-tiers": ("sssp_tiers", str),
     "platform.graphtpu.bfs-impl": ("bfs_impl", str),
     "platform.graphtpu.bfs-active-threshold": ("bfs_active_threshold", float),
     "platform.graphtpu.bfs-frontier-rows": ("bfs_frontier_rows", int),

@@ -133,14 +133,22 @@ def wcc_executed_roof(full_steps: int, active_steps: int, nnz: int, n: int,
 
 
 def sssp_executed_roof(full_steps: int, active_steps: int, nnz: int, n: int,
-                       e_cap: int) -> float:
+                       e_cap: int, stats: "dict | None" = None) -> float:
     """Full step: dist gather + weight load (gather-rate) + segment-min
-    scan over the pull stream. Active step: expand (2 E gathers) + dist/
-    weight gathers + scatter-min of e_cap candidates + the n-sized
-    compact sort in derive()."""
+    scan over the pull stream. Tier step at edge budget e: expand (2 E
+    gathers) + dist/weight gathers + scatter-min of e candidates + the
+    n-sized compact sort in derive(). With `stats` (the tiered kernel's
+    per-tier counters), each tier is priced at its own budget; else all
+    active steps are priced at e_cap."""
     full = roof_seconds(gathers=2 * nnz, scans=nnz)
+    total = full_steps * full
+    if stats is not None and "tier_steps" in stats:
+        for (k, e), steps in zip(stats["tiers"],
+                                 stats["tier_steps"].values()):
+            total += steps * roof_seconds(gathers=4 * e, scatters=e, sorts=n)
+        return total
     active = roof_seconds(gathers=4 * e_cap, scatters=e_cap, sorts=n)
-    return full_steps * full + active_steps * active
+    return total + active_steps * active
 
 
 def bfs_executed_roof(stats: dict, nnz: int, n: int) -> float:
