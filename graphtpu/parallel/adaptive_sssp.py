@@ -2,14 +2,25 @@
 path.
 
 Distributes the single-chip adaptive kernel
-(graphtpu/algorithms/sssp.py::_sssp_adaptive_kernel): rounds whose
-changed set fits the static capacities relax only those vertices'
-out-edges — each device compacts the changed rows it owns, expands them
-through its LOCAL push-CSR shard, scatter-mins candidate distances into
-an [n_pad] vector, and one pmin merges the per-device candidates
-(monotone relaxations commute, so the merge order is irrelevant). Heavy
-rounds run the sharded dense min.plus sweep (segment-min over the pull
-partition + all_gather). The whole fixed point is ONE jit dispatch.
+(graphtpu/algorithms/sssp.py::_sssp_adaptive_kernel) INCLUDING its
+round-4 tiered frontier ladder: rounds whose changed set fits a tier's
+static (rows, edges) budget relax only those vertices' out-edges at the
+SMALLEST fitting tier — each device compacts the changed rows it owns,
+expands them through its LOCAL push-CSR shard, scatter-mins candidate
+distances into an [n_pad] vector, and one pmin merges the per-device
+candidates (monotone relaxations commute, so the merge order is
+irrelevant). Heavier rounds run the sharded dense min.plus sweep
+(segment-min over the pull partition + all_gather). The whole fixed
+point is ONE jit dispatch.
+
+The ladder matters for the same measured reason as single-chip
+(ROADMAP round-4: 512^2 torus wavefronts of ~2k vertices ran 2.1x
+faster at 1/8 the static budgets): per-round cost is set by the tier's
+static shapes, so thin wavefronts must not pay the big tier's step.
+Tier routing uses GLOBAL changed counts (each device's changed slice is
+a subset, so a globally-fitting round fits every local compact/expand
+by construction). Reference analogue: the fork ships its best kernel as
+THE path (cdlp_kernel.cu:1239-1243), not a single-chip-only fork.
 """
 
 from __future__ import annotations
@@ -62,41 +73,51 @@ def _build_prep(sg):
 
 
 @partial(
-    jax.jit, static_argnames=("mesh", "rows_per_dev", "n", "k_cap", "e_cap")
+    jax.jit, static_argnames=("mesh", "rows_per_dev", "n", "tiers")
 )
 def _sssp_adaptive_dist_kernel(
-    push, gdeg_pad, coo, source, mesh, rows_per_dev, n, k_cap, e_cap
+    push, gdeg_pad, coo, source, mesh, rows_per_dev, n, tiers
 ):
     n_pad = gdeg_pad.shape[0] - 1
     r = rows_per_dev
     gdeg_n = gdeg_pad[:-1]
     dtype = coo[2].dtype
     inf = jnp.asarray(jnp.inf, dtype)
+    T = len(tiers)
+    FULL = T
 
-    def active_block(pi, pdeg, pdst, pw, dist, changed):
-        my = jax.lax.axis_index(ROWS_AXIS) * r
-        ch_local = jax.lax.dynamic_slice(changed, (my,), (r,))
-        ids_l, _ = compact(ch_local, k_cap)
-        exp = expand(ids_l, pdeg[0], pi[0], pdst[0], e_cap)
-        du = table_gather(
-            dist, jnp.where(exp.valid, exp.row_ids + my, 0)
-        )
-        cand = du + table_gather(pw[0], exp.gpos)
-        targets = jnp.where(exp.valid, exp.neigh, jnp.int32(n_pad))
-        cand_vec = (
-            jnp.full((n_pad,), inf, dtype)
-            .at[targets]
-            .min(jnp.where(exp.valid, cand, inf), mode="drop")
-        )
-        return jax.lax.pmin(cand_vec, ROWS_AXIS)
+    def chosen(acnt, ae):
+        c = jnp.int32(FULL)
+        for i in range(T - 1, -1, -1):
+            k_i, e_i = tiers[i]
+            c = jnp.where((acnt <= k_i) & (ae <= e_i), jnp.int32(i), c)
+        return c
 
-    active_sm = jax.shard_map(
-        active_block,
-        mesh=mesh,
-        in_specs=(P(ROWS_AXIS, None),) * 4 + (P(), P()),
-        out_specs=P(),
-        check_vma=False,
-    )
+    def make_active_sm(k_cap, e_cap):
+        def active_block(pi, pdeg, pdst, pw, dist, changed):
+            my = jax.lax.axis_index(ROWS_AXIS) * r
+            ch_local = jax.lax.dynamic_slice(changed, (my,), (r,))
+            ids_l, _ = compact(ch_local, k_cap)
+            exp = expand(ids_l, pdeg[0], pi[0], pdst[0], e_cap)
+            du = table_gather(
+                dist, jnp.where(exp.valid, exp.row_ids + my, 0)
+            )
+            cand = du + table_gather(pw[0], exp.gpos)
+            targets = jnp.where(exp.valid, exp.neigh, jnp.int32(n_pad))
+            cand_vec = (
+                jnp.full((n_pad,), inf, dtype)
+                .at[targets]
+                .min(jnp.where(exp.valid, cand, inf), mode="drop")
+            )
+            return jax.lax.pmin(cand_vec, ROWS_AXIS)
+
+        return jax.shard_map(
+            active_block,
+            mesh=mesh,
+            in_specs=(P(ROWS_AXIS, None),) * 4 + (P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
 
     def dense_block(src, dst_local, w, valid, dist):
         terms = table_gather(dist, src[0]) + w[0]
@@ -115,73 +136,80 @@ def _sssp_adaptive_dist_kernel(
     )
 
     def derive(changed):
-        cnt = jnp.sum(changed, dtype=jnp.int32)
-        fe = jnp.sum(jnp.where(changed, gdeg_n, 0), dtype=jnp.int32)
-        return (cnt <= k_cap) & (fe <= e_cap), cnt > 0
+        acnt = jnp.sum(changed, dtype=jnp.int32)
+        ae = jnp.sum(jnp.where(changed, gdeg_n, 0), dtype=jnp.int32)
+        return acnt, ae
 
-    def active_step(dist, changed):
-        cand = active_sm(*push, dist, changed)
-        new = jnp.minimum(dist, cand)
-        changed2 = new < dist
-        ok, nonempty = derive(changed2)
-        return new, changed2, ok, nonempty
+    def make_tier_step(i, active_sm):
+        def tier_step(s):
+            dist, changed, _, _, it, counts = s
+            cand = active_sm(*push, dist, changed)
+            new = jnp.minimum(dist, cand)
+            changed2 = new < dist
+            acnt, ae = derive(changed2)
+            return new, changed2, acnt, ae, it + 1, counts.at[i].add(1)
 
-    def full_step(dist):
+        return tier_step
+
+    def full_step(s):
+        dist, _, _, _, it, counts = s
         relaxed = dense_sm(*coo, dist)
         new = jnp.minimum(dist, relaxed)
         changed2 = new < dist
-        ok, nonempty = derive(changed2)
-        return new, changed2, ok, nonempty
+        acnt, ae = derive(changed2)
+        return new, changed2, acnt, ae, it + 1, counts.at[FULL].add(1)
 
-    # state: (dist, changed, ok, nonempty, it)
-    def active_phase(state):
-        def cond(s):
-            _, _, ok, nonempty, it = s
-            return nonempty & ok & (it < n)
+    # state: (dist, changed, acnt, ae, it, counts[T+1])
+    def make_phase(i, step):
+        def phase(state):
+            def cond(s):
+                _, _, acnt, ae, it, _ = s
+                return (acnt > 0) & (chosen(acnt, ae) == i) & (it < n)
 
-        def body(s):
-            dist, changed, _, _, it = s
-            dist, changed, ok, nonempty = active_step(dist, changed)
-            return dist, changed, ok, nonempty, it + 1
+            return jax.lax.while_loop(cond, step, state)
 
-        return jax.lax.while_loop(cond, body, state)
+        return phase
 
-    def full_phase(state):
-        def cond(s):
-            _, _, ok, nonempty, it = s
-            return nonempty & (~ok) & (it < n)
-
-        def body(s):
-            dist, _, _, _, it = s
-            dist, changed, ok, nonempty = full_step(dist)
-            return dist, changed, ok, nonempty, it + 1
-
-        return jax.lax.while_loop(cond, body, state)
+    tier_phases = [
+        make_phase(i, make_tier_step(i, make_active_sm(k_i, e_i)))
+        for i, (k_i, e_i) in enumerate(tiers)
+    ]
+    full_phase = make_phase(FULL, full_step)
 
     dist0 = jnp.full((n_pad,), inf, dtype).at[source].set(0.0)
     changed0 = jnp.zeros((n_pad,), bool).at[source].set(True)
-    ok0, nonempty0 = derive(changed0)
-    state = (dist0, changed0, ok0, nonempty0, jnp.int32(0))
+    acnt0, ae0 = derive(changed0)
+    state = (dist0, changed0, acnt0, ae0, jnp.int32(0),
+             jnp.zeros((T + 1,), jnp.int32))
 
     def outer_cond(s):
-        _, _, _, nonempty, it = s
-        return nonempty & (it < n)
+        _, _, acnt, _, it, _ = s
+        return (acnt > 0) & (it < n)
 
     def outer_body(s):
-        return full_phase(active_phase(s))
+        for ph in tier_phases:
+            s = ph(s)
+        return full_phase(s)
 
-    dist, _, _, _, it = jax.lax.while_loop(outer_cond, outer_body, state)
-    return dist, it
+    dist, _, _, _, it, counts = jax.lax.while_loop(
+        outer_cond, outer_body, state
+    )
+    return dist, it, counts
 
 
-def sssp_adaptive_dist(sg, source_dense: int, cfg=None):
-    """Distributed adaptive SSSP on a ShardedGraph. Returns (distances
-    [n] np.float64 with inf unreachable, rounds)."""
+def sssp_adaptive_dist(sg, source_dense: int, cfg=None, with_stats: bool = False):
+    """Distributed tiered adaptive SSSP on a ShardedGraph. Returns
+    (distances [n] np.float64 with inf unreachable, rounds). The tier
+    ladder is the SAME `sssp_tiers` config contract as the single-chip
+    path (sssp-frontier-rows/edges + sssp-tiers)."""
+    from graphtpu.algorithms.sssp import sssp_tiers
+
     prep = _build_prep(sg)
     coo = sg.pull()
     k_cap = int(getattr(cfg, "sssp_frontier_rows", 0) or 1 << 16)
     e_cap = int(getattr(cfg, "sssp_frontier_edges", 0) or 1 << 18)
-    dist, it = _sssp_adaptive_dist_kernel(
+    tiers = sssp_tiers(k_cap, e_cap, cfg)
+    dist, it, counts = _sssp_adaptive_dist_kernel(
         prep["push"],
         prep["gdeg_pad"],
         (coo.src, coo.dst_local, coo.w, coo.valid),
@@ -189,7 +217,16 @@ def sssp_adaptive_dist(sg, source_dense: int, cfg=None):
         sg.mesh,
         sg.rows_per_dev,
         sg.n,
-        k_cap,
-        e_cap,
+        tiers,
     )
-    return np.asarray(dist, dtype=np.float64)[: sg.n], int(it)
+    out = np.asarray(dist, dtype=np.float64)[: sg.n]
+    if with_stats:
+        it, c = jax.device_get((it, counts))
+        stats = {
+            "full_steps": int(c[-1]),
+            "active_steps": int(it) - int(c[-1]),
+            "tier_steps": {int(e): int(c[i]) for i, (_, e) in enumerate(tiers)},
+            "tiers": [(int(k), int(e)) for k, e in tiers],
+        }
+        return out, int(it), stats
+    return out, int(it)

@@ -1,17 +1,26 @@
 """Distributed convergence-adaptive WCC — the production multi-chip path.
 
-Distributes the single-chip adaptive WCC
-(graphtpu/algorithms/wcc.py::_wcc_adaptive_kernel): rounds whose
-changed-label set fits the static capacities propagate minima only along
-those vertices' edges — each device compacts the changed rows it owns,
-expands them through its LOCAL symmetrized push-CSR shard, scatter-mins
-candidate labels into an [n_pad] vector, and one pmin merges the
-per-device candidates. Heavy rounds run the sharded dense segment-min
-sweep plus two pointer-jumping hops on the replicated vector. Active
+Distributes the single-chip adaptive WCC including its round-4
+SLAB-ADAPTIVE default (graphtpu/algorithms/wcc.py::
+_wcc_slab_adaptive_kernel, measured 1.64x over the edge-stream full
+steps): heavy rounds run the degree-bucketed slab min (each device owns
+1/D of every bucket via the shared DistSlabPlan machinery of
+parallel/slab_cdlp.py, so power-law skew balances by construction — one
+per-bucket gather + axis-min, one tiled all_gather, one static inverse
+permutation) plus two pointer-jumping hops on the replicated vector;
+iteration 0 is gather-free (identity labels make the gathered slab the
+slab's own stored ids). Rounds whose changed-label set fits the static
+capacities propagate minima only along those vertices' edges — each
+device compacts the changed rows it owns, expands them through its
+LOCAL symmetrized push-CSR shard, scatter-mins candidate labels into an
+[n_pad] vector, and one pmin merges the per-device candidates. Active
 steps do PURE min-propagation (no jumps) for the same reason as the
 single-chip kernel: without jumps a label can only change through an
 edge, so `new < labels` after the step is the complete next changed set.
 The fixed point (min label per component) is identical either way.
+`wcc-impl=adaptive` keeps the edge-stream full steps as the fallback
+arm. Reference analogue: the fork ships its best kernel as THE path
+(cdlp_kernel.cu:1239-1243), not a single-chip-only fork.
 """
 
 from __future__ import annotations
@@ -190,21 +199,243 @@ def _wcc_adaptive_dist_kernel(
     return labels, it
 
 
-def wcc_adaptive_dist(sg, cfg=None):
+def _make_slab_min_step(mesh, num_buckets: int, with_heavy: bool, first: bool):
+    """shard_map'd per-device slab min over the label vector: per-bucket
+    gather + axis-min, heavy stream via the segment-min scan, one tiled
+    all_gather of the local concat. `first=True` is the gather-free
+    iteration 0 (identity labels make the gathered value the stored id
+    itself — the single-chip iter0_step of _wcc_slab_adaptive_kernel,
+    sharded)."""
+    from graphtpu.ops.scan_reduce import seg_min_scan
+
+    def block(slabs, heavy, labels):
+        parts = []
+        for s in slabs:
+            s0 = s[0]
+            if first:
+                vals = jnp.where(s0 >= 0, s0, INT32_INF)
+            else:
+                vals = jnp.where(
+                    s0 >= 0,
+                    table_gather(labels, jnp.maximum(s0, 0)),
+                    INT32_INF,
+                )
+            parts.append(jnp.min(vals, axis=0))
+        if heavy:
+            c, nb, ip = heavy[0][0], heavy[1][0], heavy[2][0]
+            h_dev = ip.shape[0] - 2
+            hv = nb if first else table_gather(labels, nb)
+            parts.append(seg_min_scan(hv, c, ip, jnp.int32(INT32_INF))[:h_dev])
+        local = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        return jax.lax.all_gather(local, ROWS_AXIS, tiled=True)
+
+    slab_specs = tuple(P(ROWS_AXIS, None, None) for _ in range(num_buckets))
+    heavy_specs = tuple(P(ROWS_AXIS, None) for _ in range(3)) if with_heavy else ()
+    return jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(slab_specs, heavy_specs, P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+
+@partial(
+    jax.jit, static_argnames=("mesh", "rows_per_dev", "n", "k_cap", "e_cap")
+)
+def _wcc_slab_adaptive_dist_kernel(
+    plan, push, sdeg_pad, mesh, rows_per_dev, n, k_cap, e_cap
+):
+    """Adaptive WCC with distributed SLAB full steps. Identical phase
+    machinery to _wcc_adaptive_dist_kernel; only the full step's
+    neighbor-min formulation differs (bucket-split slab plan instead of
+    the edge-stream segment-min)."""
+    n_pad = sdeg_pad.shape[0] - 1
+    r = rows_per_dev
+    sdeg_n = sdeg_pad[:-1]
+    heavy = plan.heavy if plan.heavy is not None else ()
+    nb = len(plan.bucket_slabs)
+    step_full = _make_slab_min_step(mesh, nb, bool(heavy), first=False)
+    step0 = _make_slab_min_step(mesh, nb, bool(heavy), first=True)
+    pad_inf = jnp.full((n_pad - n,), INT32_INF, jnp.int32)
+
+    def neigh_min_of(gathered):
+        nm = jnp.where(
+            plan.has_neighbors,
+            table_gather(gathered, plan.inv_perm),
+            INT32_INF,
+        )
+        return jnp.concatenate([nm, pad_inf]) if n_pad > n else nm
+
+    def active_block(pi, pdeg, pdst, labels, changed):
+        my = jax.lax.axis_index(ROWS_AXIS) * r
+        ch_local = jax.lax.dynamic_slice(changed, (my,), (r,))
+        ids_l, _ = compact(ch_local, k_cap)
+        exp = expand(ids_l, pdeg[0], pi[0], pdst[0], e_cap)
+        lab_u = table_gather(labels, jnp.where(exp.valid, exp.row_ids + my, 0))
+        targets = jnp.where(exp.valid, exp.neigh, jnp.int32(n_pad))
+        cand_vec = (
+            jnp.full((n_pad,), INT32_INF, jnp.int32)
+            .at[targets]
+            .min(jnp.where(exp.valid, lab_u, INT32_INF), mode="drop")
+        )
+        return jax.lax.pmin(cand_vec, ROWS_AXIS)
+
+    active_sm = jax.shard_map(
+        active_block,
+        mesh=mesh,
+        in_specs=(P(ROWS_AXIS, None),) * 3 + (P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def derive(changed):
+        cnt = jnp.sum(changed, dtype=jnp.int32)
+        ce = jnp.sum(jnp.where(changed, sdeg_n, 0), dtype=jnp.int32)
+        return (cnt <= k_cap) & (ce <= e_cap), cnt > 0
+
+    def finish(labels, neigh_min):
+        new = jnp.minimum(labels, neigh_min)
+        new = jnp.minimum(new, table_gather(new, new))
+        new = jnp.minimum(new, table_gather(new, new))
+        changed2 = new < labels
+        ok, nonempty = derive(changed2)
+        return new, changed2, ok, nonempty
+
+    def active_step(labels, changed):
+        cand = active_sm(*push, labels, changed)
+        new = jnp.minimum(labels, cand)
+        changed2 = new < labels
+        ok, nonempty = derive(changed2)
+        return new, changed2, ok, nonempty
+
+    def full_step(labels):
+        return finish(
+            labels, neigh_min_of(step_full(plan.bucket_slabs, heavy, labels))
+        )
+
+    # state: (labels, changed, ok, nonempty, it, nf)
+    def active_phase(state):
+        def cond(s):
+            _, _, ok, nonempty, it, _ = s
+            return nonempty & ok & (it < n)
+
+        def body(s):
+            labels, changed, _, _, it, nf = s
+            labels, changed, ok, nonempty = active_step(labels, changed)
+            return labels, changed, ok, nonempty, it + 1, nf
+
+        return jax.lax.while_loop(cond, body, state)
+
+    def full_phase(state):
+        def cond(s):
+            _, _, ok, nonempty, it, _ = s
+            return nonempty & (~ok) & (it < n)
+
+        def body(s):
+            labels, _, _, _, it, nf = s
+            labels, changed, ok, nonempty = full_step(labels)
+            return labels, changed, ok, nonempty, it + 1, nf + 1
+
+        return jax.lax.while_loop(cond, body, state)
+
+    labels0 = jnp.arange(n_pad, dtype=jnp.int32)
+    li, changed0, ok0, nonempty0 = finish(
+        labels0, neigh_min_of(step0(plan.bucket_slabs, heavy, labels0))
+    )
+    state = (li, changed0, ok0, nonempty0, jnp.int32(1), jnp.int32(1))
+
+    def outer_cond(s):
+        _, _, _, nonempty, it, _ = s
+        return nonempty & (it < n)
+
+    def outer_body(s):
+        return full_phase(active_phase(s))
+
+    labels, _, _, _, it, nf = jax.lax.while_loop(
+        outer_cond, outer_body, state
+    )
+    return labels, it, nf
+
+
+def _build_slab_plan(sg):
+    """Bucket-split slab plan over the symmetrized pull stream, cached on
+    the ShardedGraph (checkpointed under the same contract as the CDLP
+    incidence and PR pull plans)."""
+    plan = getattr(sg, "_dist_wcc_slab_plan", None)
+    if plan is None:
+        from graphtpu.parallel import checkpoint as ckpt_mod
+        from graphtpu.parallel.slab_cdlp import build_dist_slab_plan_from
+
+        ck = getattr(sg, "ckpt", None)
+        if ck is not None:
+            plan = ckpt_mod.load_plan(*ck, kind="wcc-slab", mesh=sg.mesh,
+                                      n=sg.n, buckets=None)
+        if plan is None:
+            src, dst, _ = sg.graph.symmetrized().pull_arrays()
+            plan = build_dist_slab_plan_from(
+                dst.astype(np.int64), src.astype(np.int32), sg.n, sg.mesh,
+                None,
+            )
+            if ck is not None:
+                ckpt_mod.save_plan(plan, *ck, num_devices=sg.num_devices,
+                                   n=sg.n, kind="wcc-slab", buckets=None)
+        sg._dist_wcc_slab_plan = plan
+    return plan
+
+
+def wcc_adaptive_dist(sg, cfg=None, with_stats: bool = False):
     """Distributed adaptive WCC on a ShardedGraph. Returns (labels [n]
-    np.int32 — min vertex id per component, rounds)."""
+    np.int32 — min vertex id per component, rounds). `wcc-impl`
+    auto/slab selects the slab-plan full steps (the single-chip
+    measured winner); `adaptive` keeps the edge-stream full steps."""
     prep = _build_prep(sg)
-    coo = sg.pull_symmetrized()
     k_cap = int(getattr(cfg, "wcc_frontier_rows", 0) or 1 << 16)
     e_cap = int(getattr(cfg, "wcc_frontier_edges", 0) or 1 << 18)
-    labels, it = _wcc_adaptive_dist_kernel(
-        prep["push"],
-        prep["sdeg_pad"],
-        (coo.src, coo.dst_local, coo.w, coo.valid),
-        sg.mesh,
-        sg.rows_per_dev,
-        sg.n,
-        k_cap,
-        e_cap,
-    )
-    return np.asarray(labels)[: sg.n], int(it)
+    impl = getattr(cfg, "wcc_impl", "auto") or "auto"
+    if impl in ("auto", "slab"):
+        plan = _build_slab_plan(sg)
+        if not plan.bucket_slabs and plan.heavy is None:
+            # edgeless graph: every vertex is its own component
+            out = np.arange(sg.n, dtype=np.int32)
+            if with_stats:
+                return out, 0, {"impl": "slab", "full_steps": 0,
+                                "active_steps": 0, "e_cap": e_cap,
+                                "k_cap": k_cap}
+            return out, 0
+        labels, it, nf = _wcc_slab_adaptive_dist_kernel(
+            plan,
+            prep["push"],
+            prep["sdeg_pad"],
+            sg.mesh,
+            sg.rows_per_dev,
+            sg.n,
+            k_cap,
+            e_cap,
+        )
+    else:
+        coo = sg.pull_symmetrized()
+        labels, it = _wcc_adaptive_dist_kernel(
+            prep["push"],
+            prep["sdeg_pad"],
+            (coo.src, coo.dst_local, coo.w, coo.valid),
+            sg.mesh,
+            sg.rows_per_dev,
+            sg.n,
+            k_cap,
+            e_cap,
+        )
+        nf = None
+    out = np.asarray(labels)[: sg.n]
+    if with_stats:
+        it = int(it)
+        nf = int(nf) if nf is not None else None
+        stats = {
+            "impl": "slab" if impl in ("auto", "slab") else "adaptive",
+            "full_steps": nf,
+            "active_steps": (it - nf) if nf is not None else None,
+            "e_cap": e_cap,
+            "k_cap": k_cap,
+        }
+        return out, it, stats
+    return out, int(it)

@@ -154,14 +154,18 @@ def test_bfs_adaptive_dist_phase_matrix(caps):
 @pytest.mark.parametrize(
     "caps",
     [
-        {},
-        # tiny caps: heavy rounds hit the dense + pointer-jumping fallback
+        {},  # wcc_impl defaults to auto -> the slab-adaptive variant
+        # tiny caps: heavy rounds hit the slab + pointer-jumping fallback
         dict(wcc_frontier_rows=16, wcc_frontier_edges=64),
+        # the edge-stream full-step arm stays selectable and correct
+        dict(wcc_impl="adaptive"),
+        dict(wcc_impl="adaptive", wcc_frontier_rows=16, wcc_frontier_edges=64),
     ],
 )
 def test_wcc_adaptive_dist_matches_single_chip(caps):
-    """The distributed adaptive WCC produces the same min-vertex-id
-    component labels as the single-chip kernel."""
+    """The distributed adaptive WCC (slab-adaptive default AND the
+    edge-stream arm) produces the same min-vertex-id component labels as
+    the single-chip kernel."""
     from graphtpu.algorithms.common import run_algorithm
     from graphtpu.parallel.adaptive_wcc import wcc_adaptive_dist
     from graphtpu.utils.config import AlgorithmParams
@@ -201,9 +205,11 @@ def test_pr_slab_dist_matches_single_chip(directed):
 @pytest.mark.parametrize(
     "caps",
     [
-        {},
+        {},  # default two-tier ladder (1/8 budgets under the configured)
         # tiny caps: heavy rounds hit the dense min.plus fallback
         dict(sssp_frontier_rows=8, sssp_frontier_edges=32),
+        # explicit multi-tier ladder (sssp-tiers config contract)
+        dict(sssp_tiers="64,512,4096"),
     ],
 )
 def test_sssp_adaptive_dist_matches_single_chip(caps):
