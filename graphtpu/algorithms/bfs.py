@@ -82,12 +82,12 @@ def _bfs_dense_step(levels, frontier, level, edges_src, edges_dst, indptr, n, im
 
 @partial(
     jax.jit,
-    static_argnames=("n", "t_trunc", "tiers", "k_bu", "e_bu", "impl"),
+    static_argnames=("n", "t_trunc", "tiers", "k_bu", "e_bu", "impl", "mode"),
 )
 def _bfs_adaptive_kernel(
     levels0, frontier0_id, edges_src, edges_dst, pull_indptr,
     deg_pad, push_indptr, push_dst, pull_deg_pad, trunc_tbl,
-    n, t_trunc, tiers, k_bu, e_bu, impl="scan",
+    n, t_trunc, tiers, k_bu, e_bu, impl="scan", mode="phases",
 ):
     """Single-dispatch direction-optimizing BFS, the TPU counterpart of
     LAGr_BreadthFirstSearch's push/pull switching (bfs.cpp:76-80). The
@@ -122,7 +122,22 @@ def _bfs_adaptive_kernel(
 
     One dispatch for the whole traversal — the host-driven hybrid pays
     per-level host-device transfers, which this environment's TPU relay
-    makes dominant."""
+    makes dominant.
+
+    `mode` selects the step-composition machinery (the round-5
+    step-floor experiment, VERDICT r4 #3): "switch" runs ONE
+    `lax.while_loop` whose body is a `lax.switch` over the phase step
+    bodies — HLO conditionals execute only the taken branch, so each
+    level pays one loop-cond + one switch + its own step, instead of
+    the "phases" machinery's T+2 nested while_loops whose conds are all
+    re-evaluated (~253 us each, step_floor_bench.py) at every phase
+    transition. MEASURED VERDICT: on the axon TPU the switch kernel is
+    a compile-time blow-up — XLA spends >10 minutes compiling the
+    6-branch conditional inside the loop even at s10 shapes (vs ~2 min
+    for the whole phases kernel), which disqualifies it as the default
+    regardless of its runtime; on the CPU backend it compiles fine and
+    matches bit-for-bit (tests run it). "phases" stays the production
+    default; scripts/perf/measure_bfs_switch.py is the re-check."""
     from graphtpu.ops.frontier import (
         compact,
         compact_stream,
@@ -144,11 +159,26 @@ def _bfs_adaptive_kernel(
             ff = jnp.where((cnt <= k_i) & (fe <= e_i), jnp.int32(i), ff)
         return ff
 
+    m_edges = edges_src.shape[0]
+
     def status(levels, level):
         """(cnt, fe) of `levels == level` — pure mask sums (no sort).
         Frontier ids are compacted lazily inside the tier step that
-        consumes them; bottom-up and dense never read ids."""
+        consumes them; bottom-up and dense never read ids. The two
+        reductions are FUSED into one packed-int64 sum when the counts
+        fit disjoint bit fields (fe < 2^38, cnt < 2^25 — true for every
+        Graphalytics graph): one n-sized reduce instead of two
+        (step-floor lever, VERDICT r4 #3)."""
         fmask = levels == level
+        if m_edges < (1 << 31) and n < (1 << 25):
+            packed = jnp.sum(
+                jnp.where(fmask, deg_n.astype(jnp.int64) + (1 << 38), 0),
+                dtype=jnp.int64,
+            )
+            return (
+                (packed >> 38).astype(jnp.int32),
+                (packed & ((1 << 38) - 1)).astype(jnp.int32),
+            )
         cnt = jnp.sum(fmask, dtype=jnp.int32)
         fe = jnp.sum(jnp.where(fmask, deg_n, 0), dtype=jnp.int32)
         return cnt, fe
@@ -264,10 +294,6 @@ def _bfs_adaptive_kernel(
 
         return phase
 
-    phases = [make_phase(i, make_tier_step(i)) for i in range(T)]
-    phases.append(make_phase(BU, bu_step))
-    phases.append(make_phase(DENSE, dense_step))
-
     levels0 = levels0.at[frontier0_id].set(0)
     cnt0, fe0 = status(levels0, 0)
     # per-phase step counters [T tiers..., BU, DENSE] for executed-volume
@@ -276,15 +302,25 @@ def _bfs_adaptive_kernel(
     state = (levels0, cnt0, fe0, jnp.int32(0), jnp.int32(0),
              jnp.zeros((T + 2,), jnp.int32))
 
+    steps = [make_tier_step(i) for i in range(T)] + [bu_step, dense_step]
+
     def outer_cond(s):
         return (s[1] > 0) & (s[4] < n)
 
-    def outer_body(s):
-        for ph in phases:
-            s = ph(s)
-        return s
+    if mode == "switch":
+        def body(s):
+            return jax.lax.switch(chosen(s), steps, s)
 
-    state = jax.lax.while_loop(outer_cond, outer_body, state)
+        state = jax.lax.while_loop(outer_cond, body, state)
+    else:
+        phases = [make_phase(i, step) for i, step in enumerate(steps)]
+
+        def outer_body(s):
+            for ph in phases:
+                s = ph(s)
+            return s
+
+        state = jax.lax.while_loop(outer_cond, outer_body, state)
     return state[0], state[4], state[5]
 
 
@@ -389,6 +425,7 @@ def bfs_adaptive_run(graph: Graph, src_dense: int, cfg: Optional[PlatformConfig]
         k_bu,
         e_bu,
         getattr(cfg, "spmv_impl", "scan") or "scan",
+        getattr(cfg, "bfs_step_mode", "") or "phases",
     )
     if with_stats:
         # one D2H for iteration count + phase counters (separate

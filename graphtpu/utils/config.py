@@ -159,6 +159,10 @@ class PlatformConfig:
     bfs_push_tiers: str = ""     # explicit ascending edge-capacity ladder
     #                              (CSV); default: 2^16, 2^19, bfs-frontier-edges
     bfs_trunc: int = 0           # 0 = BFS_TRUNC (4) bottom-up probe depth
+    bfs_step_mode: str = ""      # ""/phases = nested-phase while_loops
+    #                              (default); switch = lax.switch body — a
+    #                              measured TPU compile-time blow-up
+    #                              (>10 min at s10; algorithms/bfs.py)
     lcc_impl: str = "auto"    # auto|oriented|sweep
     sssp_impl: str = "auto"   # auto|adaptive|hybrid|delta|device; dense (distributed only)
     sssp_delta: float = 2.5   # delta-stepping bucket width (sssp.cpp:70-78)
@@ -249,6 +253,7 @@ _PLATFORM_PROPS = {
     "platform.graphtpu.bfs-bu-rows": ("bfs_bu_rows", int),
     "platform.graphtpu.bfs-bu-edges": ("bfs_bu_edges", int),
     "platform.graphtpu.bfs-push-tiers": ("bfs_push_tiers", str),
+    "platform.graphtpu.bfs-step-mode": ("bfs_step_mode", str),
     "platform.graphtpu.bfs-trunc": ("bfs_trunc", int),
     "platform.graphtpu.lcc-impl": ("lcc_impl", str),
     "platform.graphtpu.sssp-impl": ("sssp_impl", str),

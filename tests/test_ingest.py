@@ -190,3 +190,130 @@ def test_undirected_conflicting_weights_rejected():
         np.array([3.0, 3.0]), directed=False, weighted=True,
     )
     assert g.nnz == 2
+
+
+# ---------------------------------------------------------------- native sort
+
+
+def _native_sort_ready():
+    from graphtpu.ingest import native
+
+    return native.relabel_available()
+
+
+@pytest.mark.skipif(
+    not _native_sort_ready(), reason="native library not built (make -C native)"
+)
+@pytest.mark.parametrize("directed", [True, False])
+@pytest.mark.parametrize("weighted", [True, False])
+def test_native_relabel_matches_numpy(directed, weighted, monkeypatch):
+    """The fused native relabel (gtio_relabel_edges: hash join + doubling
+    + radix sort + keep-first dedup) is byte-identical to the numpy path
+    of Graph.from_original_ids across all four graph kinds, including
+    duplicate edges and self-loops."""
+    from graphtpu.core import graph as G
+
+    rng = np.random.default_rng(7)
+    n, m = 500, 4000
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    src[m // 2 : m // 2 + 64] = src[:64]  # duplicate edges
+    dst[m // 2 : m // 2 + 64] = dst[:64]
+    dst[:16] = src[:16]  # self loops
+    # pair-determined weights: never conflicting for the undirected check
+    w = (
+        np.minimum(src, dst) * 1.5 + np.maximum(src, dst) * 0.25 + 1.0
+        if weighted
+        else None
+    )
+    vids = np.arange(n, dtype=np.int64) * 5 + 11
+
+    monkeypatch.setattr(G, "NATIVE_SORT_MIN", 1)
+    g_nat = G.Graph.from_original_ids(vids, vids[src], vids[dst], w, directed, weighted)
+    monkeypatch.setattr(G, "NATIVE_SORT_MIN", 1 << 62)
+    g_np = G.Graph.from_original_ids(vids, vids[src], vids[dst], w, directed, weighted)
+    np.testing.assert_array_equal(g_nat.src, g_np.src)
+    np.testing.assert_array_equal(g_nat.dst, g_np.dst)
+    np.testing.assert_array_equal(g_nat.w, g_np.w)
+    np.testing.assert_array_equal(g_nat.mapping, g_np.mapping)
+
+
+@pytest.mark.skipif(
+    not _native_sort_ready(), reason="native library not built (make -C native)"
+)
+def test_native_relabel_error_paths(monkeypatch):
+    """Native relabel raises the SAME ValueErrors as the numpy path —
+    duplicate vertex ids, unknown edge ids, conflicting duplicate
+    weights — instead of falling back."""
+    from graphtpu.core import graph as G
+
+    monkeypatch.setattr(G, "NATIVE_SORT_MIN", 1)
+    vids = np.arange(100, dtype=np.int64)
+    big = np.tile(np.arange(90, dtype=np.int64), 800)
+
+    vids_dup = vids.copy()
+    vids_dup[5] = vids_dup[4]
+    with pytest.raises(ValueError, match="duplicate vertex ids"):
+        G.Graph.from_original_ids(vids_dup, big, big, None, True, False)
+
+    bad = big.copy()
+    bad[7] = 555
+    with pytest.raises(ValueError, match="unknown vertex id"):
+        G.Graph.from_original_ids(vids, bad, big, None, True, False)
+
+    s2 = np.array([1, 2] * 40000, dtype=np.int64)
+    d2 = np.array([2, 1] * 40000, dtype=np.int64)
+    wc = np.ones(80000)
+    wc[1] = 5.0
+    with pytest.raises(ValueError, match="conflicting weights"):
+        G.Graph.from_original_ids(vids, s2, d2, wc, False, True)
+
+
+@pytest.mark.skipif(
+    not _native_sort_ready(), reason="native library not built (make -C native)"
+)
+def test_native_sort_edges_pull_order(monkeypatch):
+    """pull_arrays on a directed graph routes through the native counting
+    sort and matches the numpy lexsort permutation exactly."""
+    from graphtpu.core import graph as G
+
+    rng = np.random.default_rng(9)
+    n, m = 400, 3000
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.random(m)
+    vids = np.arange(n, dtype=np.int64)
+    monkeypatch.setattr(G, "NATIVE_SORT_MIN", 1)
+    g_nat = G.Graph.from_original_ids(vids, src, dst, w, True, True)
+    pn = g_nat.pull_arrays()
+    monkeypatch.setattr(G, "NATIVE_SORT_MIN", 1 << 62)
+    g_np = G.Graph.from_original_ids(vids, src, dst, w, True, True)
+    ph = g_np.pull_arrays()
+    for a, b in zip(pn, ph):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_sort_kernel_matches_numpy():
+    """The opt-in device ingest sort kernel (_sort_kern — a measured
+    negative result on THIS environment's 2.5 MB/s D2H relay, kept for
+    direct-attached hardware) sorts and keep-first-dedups identically to
+    the host path, on the CPU backend."""
+    import jax.numpy as jnp
+
+    from graphtpu.core import graph as G
+
+    rng = np.random.default_rng(3)
+    n, m = 200, 2000
+    src = rng.integers(0, n, m).astype(np.int32)
+    dst = rng.integers(0, n, m).astype(np.int32)
+    s_s, d_s, pos, keep = G._device_sort_kernel(
+        jnp.asarray(src), jnp.asarray(dst), True, True, True
+    )
+    s_s, d_s, pos, keep = (np.asarray(x) for x in (s_s, d_s, pos, keep))
+    perm = G._lexsort_edges(src, dst, "src")
+    np.testing.assert_array_equal(s_s, src[perm])
+    np.testing.assert_array_equal(d_s, dst[perm])
+    np.testing.assert_array_equal(pos, perm)
+    ks, kd = s_s[keep], d_s[keep]
+    first = np.ones(ks.shape[0], dtype=bool)
+    assert not np.any((ks[1:] == ks[:-1]) & (kd[1:] == kd[:-1])), first
