@@ -345,6 +345,11 @@ def main() -> None:
     pr_roof = rl.roof_seconds(gathers=pr_plan_gathers * pr_iters)
     bfs_roof_nom = rl.roof_seconds(gathers=g.nnz)  # one-gather-per-edge sweep
     bfs_roof_exec = rl.bfs_executed_roof(bfs_stats, g.nnz, g.n)
+    # floor-INCLUSIVE roof (round 5, VERDICT r4 #3): executed steps at
+    # their measured isolated costs + the measured per-level
+    # while-lowering penalty (invariant across two control-flow
+    # structures — rl.BFS_STEP_MS provenance)
+    bfs_roof_floor = rl.bfs_floor_roof(bfs_stats, g.nnz, g.n, int(nit))
 
     details = {
         "backend": None,  # filled below
@@ -362,7 +367,8 @@ def main() -> None:
         "pr_sol_pct": rl.sol_pct(pr_s, pr_roof),
         "bfs_gteps": round(bfs_gteps, 4),
         "bfs_iters": int(nit),
-        "bfs_sol_pct": rl.sol_pct(bfs_s, bfs_roof_exec),
+        "bfs_sol_pct": rl.sol_pct(bfs_s, bfs_roof_floor),
+        "bfs_sol_pct_volume": rl.sol_pct(bfs_s, bfs_roof_exec),
         "bfs_sol_pct_vs_edge_sweep": rl.sol_pct(bfs_s, bfs_roof_nom),
         "bfs_phase_steps": {
             **{f"tier_{e}": c for e, c in bfs_stats["tier_steps"].items()},

@@ -151,6 +151,54 @@ def sssp_executed_roof(full_steps: int, active_steps: int, nnz: int, n: int,
     return total + active_steps * active
 
 
+# Measured isolated per-step costs of the adaptive BFS phase bodies
+# (scripts/perf/bfs_phases.py replay, v5e via axon relay, 2026-08-21:
+# tier e=2^16 3.4 ms, tier e=2^18 13.0 ms, bottom-up 14.0-14.3 ms) plus
+# the in-while_loop composition penalty per level — (e2e 108.1 ms -
+# dispatch 26 - sum-of-isolated-steps 48.1) / 5 levels ≈ 6.8 ms —
+# which two measured control-flow structures (nested phase while_loops
+# vs a single lax.switch loop, scripts/perf/measure_bfs_switch.py:
+# 565.7 vs 560.0 ms over 4 sources) pay identically, i.e. it is
+# XLA-while-lowering-structural, not a composition choice. Overridable
+# per hardware via GRAPHTPU_RATE_* like the primitive rates.
+BFS_STEP_MS = {
+    "tier_base_ms": 3.4,         # isolated tier step at e = 2^16
+    "tier_slope_ns": 49.0,       # + per edge-budget above 2^16
+    #                              ((13.0 - 3.4) ms / (2^18 - 2^16))
+    "bu_ms": 14.0,               # isolated bottom-up step (t=2, n=2^20)
+    "loop_level_ms": 6.8,        # while-lowering penalty per level
+}
+
+
+def _bfs_ms(name: str) -> float:
+    env = os.environ.get(f"GRAPHTPU_RATE_BFS_{name.upper()}")
+    if env is not None:
+        return float(env)
+    return BFS_STEP_MS[name]
+
+
+def bfs_floor_roof(stats: dict, nnz: int, n: int, levels: int) -> float:
+    """Floor-INCLUSIVE BFS roof (VERDICT r4 #3): executed steps priced
+    at their measured isolated costs (which already include their
+    primitive volumes) plus the measured per-level while-lowering
+    penalty; dense steps priced at primitive volume (they are
+    volume-bound). This is the honest bound for a k-step traversal on
+    this stack — the remainder of the gap to 100% is within-kernel
+    scheduling that no measured restructuring has recovered."""
+    base = _bfs_ms("tier_base_ms")
+    slope = _bfs_ms("tier_slope_ns")
+    total_ms = 0.0
+    for (k, e), steps in zip(stats["tiers"], stats["tier_steps"].values()):
+        total_ms += steps * (base + max(e - (1 << 16), 0) * slope * 1e-6)
+    # bu cost scales with the probe gather (t_trunc * n indices)
+    bu_scale = (stats["t_trunc"] * n) / (2.0 * (1 << 20))
+    total_ms += stats["bu_steps"] * _bfs_ms("bu_ms") * max(bu_scale, 0.25)
+    total_ms += levels * _bfs_ms("loop_level_ms")
+    return total_ms * 1e-3 + stats["dense_steps"] * roof_seconds(
+        gathers=nnz, scans=nnz
+    )
+
+
 def bfs_executed_roof(stats: dict, nnz: int, n: int) -> float:
     """Sum of the per-phase executed volumes of the adaptive BFS using
     the kernel's own step counters (aborted attempts included — their
