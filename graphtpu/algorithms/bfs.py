@@ -169,19 +169,9 @@ def _bfs_adaptive_kernel(
         fit disjoint bit fields (fe < 2^38, cnt < 2^25 — true for every
         Graphalytics graph): one n-sized reduce instead of two
         (step-floor lever, VERDICT r4 #3)."""
-        fmask = levels == level
-        if m_edges < (1 << 31) and n < (1 << 25):
-            packed = jnp.sum(
-                jnp.where(fmask, deg_n.astype(jnp.int64) + (1 << 38), 0),
-                dtype=jnp.int64,
-            )
-            return (
-                (packed >> 38).astype(jnp.int32),
-                (packed & ((1 << 38) - 1)).astype(jnp.int32),
-            )
-        cnt = jnp.sum(fmask, dtype=jnp.int32)
-        fe = jnp.sum(jnp.where(fmask, deg_n, 0), dtype=jnp.int32)
-        return cnt, fe
+        from graphtpu.ops.frontier import mask_status
+
+        return mask_status(levels == level, deg_n, m_edges)
 
     # ---- phase step bodies ----
     # state: (levels, cnt, fe, min_tier, level)

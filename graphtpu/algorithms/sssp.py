@@ -99,11 +99,12 @@ def _sssp_adaptive_kernel(
 
     SSSP's active set is the changed vertices themselves (no neighbor
     union), so tier routing is exact and cheap: one n-mask compact +
-    two mask reductions per step."""
-    from graphtpu.ops.frontier import compact, expand
+    ONE fused mask reduction per step (ops/frontier.mask_status)."""
+    from graphtpu.ops.frontier import compact, expand, mask_status
     from graphtpu.ops.gather import table_gather
 
     deg_n = deg_pad[:-1]
+    m_edges = int(edges_src.shape[0])
     T = len(tiers)
     FULL = T
     k_max = tiers[-1][0]
@@ -117,8 +118,8 @@ def _sssp_adaptive_kernel(
         return c
 
     def derive(changed_mask):
-        ids, cnt = compact(changed_mask, k_max)
-        fe = jnp.sum(jnp.where(changed_mask, deg_n, 0), dtype=jnp.int32)
+        ids, _ = compact(changed_mask, k_max)
+        cnt, fe = mask_status(changed_mask, deg_n, m_edges)
         return ids, cnt, fe
 
     def full_step(dist):

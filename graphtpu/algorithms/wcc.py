@@ -78,15 +78,21 @@ def _wcc_adaptive_loop(full_step, iter0_step, edges_src, indptr, deg_pad,
     `full_step(labels) -> (new, changed_mask)`; `iter0_step() ->
     (new, changed_mask)` is its gather-free first iteration (identity
     labels)."""
-    from graphtpu.ops.frontier import compact, compact_stream, expand, frontier_deg_sum
+    from graphtpu.ops.frontier import (
+        compact,
+        compact_stream,
+        expand,
+        frontier_deg_sum,
+        mask_status,
+    )
     from graphtpu.ops.gather import table_gather
     from graphtpu.ops.scan_reduce import seg_min_scan
 
     deg_n = deg_pad[:-1]
+    m_edges = int(edges_src.shape[0])
 
     def fits(changed_mask):
-        cnt = jnp.sum(changed_mask, dtype=jnp.int32)
-        ce = jnp.sum(jnp.where(changed_mask, deg_n, 0), dtype=jnp.int32)
+        cnt, ce = mask_status(changed_mask, deg_n, m_edges)
         return (cnt <= k_cap) & (ce <= e_cap)
 
     def derive(changed_mask):

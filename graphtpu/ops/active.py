@@ -154,9 +154,10 @@ def _cdlp_adaptive_kernel(
     def fits_mask(changed_mask):
         """Cheap changed-mask statistics against the LARGEST tier —
         necessary for any tier to fit; derive() then measures the real
-        active set."""
-        cnt = jnp.sum(changed_mask, dtype=jnp.int32)
-        ce = jnp.sum(jnp.where(changed_mask, deg_n, 0), dtype=jnp.int32)
+        active set. One fused packed-int64 reduction (mask_status)."""
+        from graphtpu.ops.frontier import mask_status
+
+        cnt, ce = mask_status(changed_mask, deg_n, int(neigh_dev.shape[0]))
         return (cnt <= k_max) & (ce <= e_max)
 
     def derive(changed_mask):

@@ -221,7 +221,10 @@ def _save_oriented_cache(cache_dir, graph, ex, ey, mult, rank, deg_s):
         return
     f.parent.mkdir(parents=True, exist_ok=True)
     tmp = f.with_suffix(".tmp.npz")
-    np.savez_compressed(
+    # UNCOMPRESSED: zlib decompress cost 6.6 s of every warm prep at
+    # s20/ef32 (round-5 profile) vs ~1 s raw read; the ~290 MB on disk
+    # is ingest-cache territory (load-graph.sh keeps .grb/.vtb too)
+    np.savez(
         tmp,
         version=_WEDGE_CACHE_VERSION,
         n=graph.n,
@@ -252,12 +255,14 @@ def prepare_wedge_plan(graph, cache_dir=None) -> WedgePlan:
     cached = _load_oriented_cache(cache_dir, graph)
     if cached is not None:
         ex, ey, mult, rank, deg_s = cached
-        packed = (jnp.asarray(ex, jnp.int64) << id_bits) | jnp.asarray(
-            ey, jnp.int64
-        )
+        # transfer int32 and pack on device: int64 H2D of ex/ey doubles
+        # the transfer bytes for no reason (round-5 profile: 3.3 s)
         mult_d = jnp.asarray(mult.astype(np.int32))
         ex32 = jnp.asarray(ex.astype(np.int32))
         ey32 = jnp.asarray(ey.astype(np.int32))
+        packed = (ex32.astype(jnp.int64) << id_bits) | ey32.astype(
+            jnp.int64
+        )
     else:
         s, d = graph.src, graph.dst
         keep = s != d
