@@ -31,6 +31,13 @@ import numpy as np
 
 import graphtpu  # noqa: F401
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon sitecustomize pins jax_platforms programmatically; the
+    # config update is the authoritative override (tests/conftest.py)
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     import jax
