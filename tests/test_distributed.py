@@ -300,3 +300,25 @@ def test_lcc_dist_probe_modes(monkeypatch):
     for mode in ("square", "pairs-sorted"):
         monkeypatch.setenv("GRAPHTPU_LCC_PROBE", mode)
         np.testing.assert_array_equal(lcc_oriented_dist(sg), ref)
+
+
+def test_dist_stats_phase_counters():
+    """The distributed WCC slab and tiered SSSP report executed-phase
+    counters (with_stats) consistent with their round totals — the
+    executed-volume accounting contract the single-chip kernels keep."""
+    from graphtpu.parallel.adaptive_sssp import sssp_adaptive_dist
+    from graphtpu.parallel.adaptive_wcc import wcc_adaptive_dist
+    from graphtpu.utils.synth import rmat_graph
+
+    g = rmat_graph(9, 8, directed=False, seed=3, weighted=True)
+    sg = ShardedGraph(g, make_mesh(len(jax.devices())), wdtype=np.float64)
+
+    labels, it, wstats = wcc_adaptive_dist(sg, None, with_stats=True)
+    assert wstats["impl"] == "slab"
+    assert wstats["full_steps"] + wstats["active_steps"] == it
+    assert labels.shape[0] == g.n
+
+    d, rounds, sstats = sssp_adaptive_dist(sg, 0, None, with_stats=True)
+    assert sum(sstats["tier_steps"].values()) + sstats["full_steps"] == rounds
+    assert sstats["active_steps"] == rounds - sstats["full_steps"]
+    assert d.shape[0] == g.n and d[0] == 0.0
