@@ -673,4 +673,13 @@ if __name__ == "__main__":
             jax.config.update("jax_platforms", "cpu")
         main_scaling()
     else:
+        # GRAPHTPU_BENCH_PLATFORM=cpu runs the whole bench on the CPU
+        # backend (smoke tests / tunnel outages); the axon sitecustomize
+        # pins jax_platforms programmatically, so the config update is
+        # the authoritative override
+        plat = os.environ.get("GRAPHTPU_BENCH_PLATFORM")
+        if plat:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
         main()

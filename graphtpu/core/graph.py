@@ -299,13 +299,15 @@ class Graph:
                     None if edge_w is None
                     else np.asarray(edge_w, dtype=np.float64)
                 )
-                s, d, w_out = native.relabel_edges(
+                out = native.relabel_edges(
                     vertex_ids, edge_src, edge_dst, w_in, directed
                 )
-                return cls(
-                    n, s, d, w_out, vertex_ids, directed, weighted,
-                    _presorted=True, _dedup=False,
-                )
+                if out is not None:  # None = declined, numpy fallback
+                    s, d, w_out = out
+                    return cls(
+                        n, s, d, w_out, vertex_ids, directed, weighted,
+                        _presorted=True, _dedup=False,
+                    )
 
         order = np.argsort(vertex_ids, kind="stable")
         sorted_ids = vertex_ids[order]
@@ -402,16 +404,29 @@ class Graph:
         if not self.directed:
             return self.dst, self.src, self.w
         if getattr(self, "_pull_cache", None) is None:
+            # thread the RAW weight slot through the sorts: for
+            # unweighted graphs _w_arr is None, so no 0.5 GB constant
+            # ones array is materialized, copied, or co-sorted (the
+            # lazy-w contract of the ctor)
+            w_raw = self._w_arr
             fast = _native_sort_edges(
-                self.src, self.dst, self.w, self.n, "dst", False
+                self.src, self.dst, w_raw, self.n, "dst", False
             )
             if fast is None:
-                fast = _device_sort_edges(self.src, self.dst, self.w, "dst", False)
+                fast = _device_sort_edges(self.src, self.dst, w_raw, "dst", False)
             if fast is None:
                 p = self.pull_perm()
-                fast = (self.src[p], self.dst[p], self.w[p])
+                fast = (
+                    self.src[p],
+                    self.dst[p],
+                    None if w_raw is None else w_raw[p],
+                )
             self._pull_cache = fast
-        return self._pull_cache
+        return (
+            self._pull_cache
+            if self._pull_cache[2] is not None
+            else (self._pull_cache[0], self._pull_cache[1], self.w)
+        )
 
     def symmetrized(self) -> "Graph":
         """Structure of A | A^T with unit weights (wcc.cpp:53-55 analogue).

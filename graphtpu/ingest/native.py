@@ -174,7 +174,10 @@ def relabel_edges(vertex_ids: np.ndarray, esrc: np.ndarray, edst: np.ndarray,
     original-id edges -> dense-id lexsorted keep-first-deduped COO,
     including undirected doubling — identical semantics (and identical
     error conditions) to Graph.from_original_ids's numpy path. Returns
-    (src int32, dst int32, w float64 | None)."""
+    (src int32, dst int32, w float64 | None), or None when the native
+    path DECLINES (allocation failure, or a vertex id colliding with
+    the hash sentinel INT64_MIN) — the caller then uses the numpy
+    path, which handles any input."""
     lib = _load()
     assert lib is not None and hasattr(lib, "gtio_relabel_edges")
     vertex_ids = np.ascontiguousarray(vertex_ids, dtype=np.int64)
@@ -213,6 +216,8 @@ def relabel_edges(vertex_ids: np.ndarray, esrc: np.ndarray, edst: np.ndarray,
         raise ValueError(
             "undirected input lists an edge twice with conflicting weights"
         )
+    if k in (-5, -6):
+        return None  # declined — numpy fallback
     if k < 0:
         raise ValueError(f"native relabel failed ({k})")
     return out_src[:k], out_dst[:k], (out_w[:k] if has_w else None)

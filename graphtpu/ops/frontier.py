@@ -53,10 +53,11 @@ def mask_status(mask: jax.Array, deg: jax.Array, nnz=None):
     step-floor fusion (VERDICT r4 #3) shared by the adaptive
     BFS/WCC/CDLP/SSSP status checks. `nnz` (static total edge count,
     the bound on any masked degree sum) gates the packing: without it,
-    or when the bit fields could overflow (nnz >= 2^38, rows >= 2^25),
-    falls back to two reductions."""
+    or when the int32 RESULT contract could overflow (nnz >= 2^31 —
+    the same bound the two-reduction path has always had) or rows >=
+    2^25, falls back to two reductions."""
     n = mask.shape[0]
-    if nnz is not None and nnz < (1 << 38) and n < (1 << 25):
+    if nnz is not None and nnz < (1 << 31) and n < (1 << 25):
         packed = jnp.sum(
             jnp.where(mask, deg.astype(jnp.int64) + (1 << 38), 0),
             dtype=jnp.int64,

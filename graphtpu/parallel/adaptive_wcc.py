@@ -200,43 +200,19 @@ def _wcc_adaptive_dist_kernel(
 
 
 def _make_slab_min_step(mesh, num_buckets: int, with_heavy: bool, first: bool):
-    """shard_map'd per-device slab min over the label vector: per-bucket
-    gather + axis-min, heavy stream via the segment-min scan, one tiled
-    all_gather of the local concat. `first=True` is the gather-free
+    """Per-device slab MIN over the label vector — a thin wrapper over
+    slab_cdlp._make_step(reduce="min"), the ONE shard_map'd slab-step
+    builder shared by distributed CDLP, PR, and WCC (same bucket
+    layout, heavy-tuple shape, and gathered-concat ordering that
+    DistSlabPlan.inv_perm depends on). `first=True` is the gather-free
     iteration 0 (identity labels make the gathered value the stored id
     itself — the single-chip iter0_step of _wcc_slab_adaptive_kernel,
-    sharded)."""
-    from graphtpu.ops.scan_reduce import seg_min_scan
+    sharded; same branch as CDLP's duplicate-free iter0)."""
+    from graphtpu.parallel.slab_cdlp import _make_step
 
-    def block(slabs, heavy, labels):
-        parts = []
-        for s in slabs:
-            s0 = s[0]
-            if first:
-                vals = jnp.where(s0 >= 0, s0, INT32_INF)
-            else:
-                vals = jnp.where(
-                    s0 >= 0,
-                    table_gather(labels, jnp.maximum(s0, 0)),
-                    INT32_INF,
-                )
-            parts.append(jnp.min(vals, axis=0))
-        if heavy:
-            c, nb, ip = heavy[0][0], heavy[1][0], heavy[2][0]
-            h_dev = ip.shape[0] - 2
-            hv = nb if first else table_gather(labels, nb)
-            parts.append(seg_min_scan(hv, c, ip, jnp.int32(INT32_INF))[:h_dev])
-        local = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-        return jax.lax.all_gather(local, ROWS_AXIS, tiled=True)
-
-    slab_specs = tuple(P(ROWS_AXIS, None, None) for _ in range(num_buckets))
-    heavy_specs = tuple(P(ROWS_AXIS, None) for _ in range(3)) if with_heavy else ()
-    return jax.shard_map(
-        block,
-        mesh=mesh,
-        in_specs=(slab_specs, heavy_specs, P()),
-        out_specs=P(),
-        check_vma=False,
+    return _make_step(
+        mesh, num_buckets, with_heavy,
+        first="min" if first else False, reduce="min",
     )
 
 
@@ -361,27 +337,17 @@ def _wcc_slab_adaptive_dist_kernel(
 def _build_slab_plan(sg):
     """Bucket-split slab plan over the symmetrized pull stream, cached on
     the ShardedGraph (checkpointed under the same contract as the CDLP
-    incidence and PR pull plans)."""
-    plan = getattr(sg, "_dist_wcc_slab_plan", None)
-    if plan is None:
-        from graphtpu.parallel import checkpoint as ckpt_mod
-        from graphtpu.parallel.slab_cdlp import build_dist_slab_plan_from
+    incidence and PR pull plans, via checkpoint.cached_plan)."""
+    from graphtpu.parallel.checkpoint import cached_plan
+    from graphtpu.parallel.slab_cdlp import build_dist_slab_plan_from
 
-        ck = getattr(sg, "ckpt", None)
-        if ck is not None:
-            plan = ckpt_mod.load_plan(*ck, kind="wcc-slab", mesh=sg.mesh,
-                                      n=sg.n, buckets=None)
-        if plan is None:
-            src, dst, _ = sg.graph.symmetrized().pull_arrays()
-            plan = build_dist_slab_plan_from(
-                dst.astype(np.int64), src.astype(np.int32), sg.n, sg.mesh,
-                None,
-            )
-            if ck is not None:
-                ckpt_mod.save_plan(plan, *ck, num_devices=sg.num_devices,
-                                   n=sg.n, kind="wcc-slab", buckets=None)
-        sg._dist_wcc_slab_plan = plan
-    return plan
+    def build():
+        src, dst, _ = sg.graph.symmetrized().pull_arrays()
+        return build_dist_slab_plan_from(
+            dst.astype(np.int64), src.astype(np.int32), sg.n, sg.mesh, None
+        )
+
+    return cached_plan(sg, "_dist_wcc_slab_plan", "wcc-slab", build)
 
 
 def wcc_adaptive_dist(sg, cfg=None, with_stats: bool = False):

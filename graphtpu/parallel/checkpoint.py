@@ -281,3 +281,25 @@ def load_plan(intermediate_dir, graph_name: str, kind: str, mesh, n: int, bucket
         has_neighbors = put_sharded(z["has_neighbors"], replicated)
     log.info("slab plan checkpoint loaded: %s", d)
     return DistSlabPlan(slabs, heavy, inv_perm, has_neighbors)
+
+
+def cached_plan(sg, attr: str, kind: str, build, buckets=None):
+    """Memo -> checkpoint -> build resolution for a DistSlabPlan, the
+    one copy of the boilerplate shared by distributed CDLP, PR, and WCC
+    (round-5 dedup): return the plan cached on the ShardedGraph under
+    `attr`; else restore it from the sharded checkpoint (when sg.ckpt
+    is set); else `build()` it and persist it for the next run
+    (SURVEY.md §5.4 skip-if-exists contract)."""
+    plan = getattr(sg, attr, None)
+    if plan is None:
+        ck = getattr(sg, "ckpt", None)
+        if ck is not None:
+            plan = load_plan(*ck, kind=kind, mesh=sg.mesh, n=sg.n,
+                             buckets=buckets)
+        if plan is None:
+            plan = build()
+            if ck is not None:
+                save_plan(plan, *ck, num_devices=sg.num_devices, n=sg.n,
+                          kind=kind, buckets=buckets)
+        setattr(sg, attr, plan)
+    return plan

@@ -174,11 +174,16 @@ def build_dist_slab_plan_from(
     )
 
 
-def _make_step(mesh, num_buckets: int, with_heavy: bool, first):
-    """shard_map'd per-device step: bucket minmodes + heavy stream, one
-    tiled all_gather of the local concat. `first`: "min" (duplicate-free
-    gather-free iter0), "mode" (gather-free full min-mode iter0 on the
-    stored ids — labels must be the identity), or falsy (full step)."""
+def _make_step(mesh, num_buckets: int, with_heavy: bool, first,
+               reduce: str = "minmode"):
+    """shard_map'd per-device step: per-bucket reductions + heavy
+    stream, one tiled all_gather of the local concat. `first`: "min"
+    (duplicate-free gather-free iter0 — shared by CDLP's undirected
+    iter0 AND the WCC slab kernel's identity-labels iter0), "mode"
+    (gather-free full min-mode iter0 on the stored ids), or falsy (full
+    step). `reduce` selects the full-step reduction: "minmode" (CDLP's
+    smallest-most-frequent) or "min" (WCC's neighbor-label minimum —
+    gather + axis-min / segment-min scan)."""
 
     def block(slabs, heavy, labels):
         n = labels.shape[0]
@@ -194,6 +199,13 @@ def _make_step(mesh, num_buckets: int, with_heavy: bool, first):
                 parts.append(
                     _rowwise_minmode(jnp.where(s0 >= 0, s0, INT32_INF))
                 )
+            elif reduce == "min":
+                vals = jnp.where(
+                    s0 >= 0,
+                    table_gather(labels, jnp.maximum(s0, 0)),
+                    INT32_INF,
+                )
+                parts.append(jnp.min(vals, axis=0))
             else:
                 parts.append(_slab_minmode(labels, s0))
         if heavy:
@@ -203,6 +215,10 @@ def _make_step(mesh, num_buckets: int, with_heavy: bool, first):
                 hout = seg_min_scan(nb, c, ip, jnp.int32(INT32_INF))[:h_dev]
             elif first == "mode":
                 hout = stream_minmode(None, c, nb, ip, n, identity=True)[:h_dev]
+            elif reduce == "min":
+                hout = seg_min_scan(
+                    table_gather(labels, nb), c, ip, jnp.int32(INT32_INF)
+                )[:h_dev]
             else:
                 hout = stream_minmode(labels, c, nb, ip, n)[:h_dev]
             parts.append(hout)
@@ -265,25 +281,18 @@ jax.tree_util.register_pytree_node(
 def cdlp_slab_dist(sg, itermax: int, buckets=None):
     """Entry point: distributed slab CDLP on a ShardedGraph. Returns
     (labels [n] np.int32, iterations)."""
-    plan = getattr(sg, "_dist_slab_plan", None)
     from graphtpu.ops.slab import bucket_policy_key
+    from graphtpu.parallel.checkpoint import cached_plan
 
     bkey = bucket_policy_key(buckets)
-    if plan is None or getattr(sg, "_dist_slab_buckets", None) != bkey:
-        from graphtpu.parallel import checkpoint as ckpt_mod
-
-        ck = getattr(sg, "ckpt", None)
-        plan = None
-        if ck is not None:
-            plan = ckpt_mod.load_plan(*ck, kind="cdlp-incidence", mesh=sg.mesh,
-                                      n=sg.n, buckets=buckets)
-        if plan is None:
-            plan = build_dist_slab_plan(sg.graph, sg.mesh, buckets)
-            if ck is not None:
-                ckpt_mod.save_plan(plan, *ck, num_devices=sg.num_devices,
-                                   n=sg.n, kind="cdlp-incidence", buckets=buckets)
-        sg._dist_slab_plan = plan
-        sg._dist_slab_buckets = bkey
+    if getattr(sg, "_dist_slab_buckets", None) != bkey:
+        sg._dist_slab_plan = None  # bucket policy changed: invalidate memo
+    plan = cached_plan(
+        sg, "_dist_slab_plan", "cdlp-incidence",
+        lambda: build_dist_slab_plan(sg.graph, sg.mesh, buckets),
+        buckets=buckets,
+    )
+    sg._dist_slab_buckets = bkey
     labels0 = jnp.arange(sg.n, dtype=jnp.int32)
     if not plan.bucket_slabs and plan.heavy is None:
         return np.arange(sg.n, dtype=np.int32), 0

@@ -90,23 +90,15 @@ def pr_slab_dist_kernel(plan: DistSlabPlan, out_deg, damping, mesh, n, num_itera
 def pr_slab_dist(sg, damping: float, num_iterations: int, dtype=np.float32):
     """Entry point: distributed slab PR on a ShardedGraph. Returns ranks
     [n] as a host array."""
-    plan = getattr(sg, "_dist_pr_plan", None)
-    if plan is None:
-        from graphtpu.parallel import checkpoint as ckpt_mod
+    from graphtpu.parallel.checkpoint import cached_plan
 
-        ck = getattr(sg, "ckpt", None)
-        if ck is not None:
-            plan = ckpt_mod.load_plan(*ck, kind="pr-pull", mesh=sg.mesh,
-                                      n=sg.n, buckets=None)
-        if plan is None:
-            src, dst, _ = sg.graph.pull_arrays()
-            plan = build_dist_slab_plan_from(
-                dst.astype(np.int64), src.astype(np.int32), sg.n, sg.mesh, None
-            )
-            if ck is not None:
-                ckpt_mod.save_plan(plan, *ck, num_devices=sg.num_devices,
-                                   n=sg.n, kind="pr-pull", buckets=None)
-        sg._dist_pr_plan = plan
+    def build():
+        src, dst, _ = sg.graph.pull_arrays()
+        return build_dist_slab_plan_from(
+            dst.astype(np.int64), src.astype(np.int32), sg.n, sg.mesh, None
+        )
+
+    plan = cached_plan(sg, "_dist_pr_plan", "pr-pull", build)
     from graphtpu.parallel.partition import put_sharded
 
     out_deg = put_sharded(sg.graph.out_degree.astype(np.int32), sg.replicated)

@@ -276,7 +276,7 @@ int64_t gtio_parse_edges(const char *path, int32_t weighted,
 // `w` may be null (unweighted). Returns the new edge count after dedup
 // (== m when dedup=0), or -1 on invalid ids (outside [0, n)).
 int64_t gtio_sort_edges(int64_t m, int64_t n, int32_t *src, int32_t *dst,
-                        double *w, int32_t has_w, int32_t dedup) {
+                        double *w, int32_t has_w, int32_t dedup) try {
     if (m <= 0) return m < 0 ? -1 : 0;
     for (int64_t i = 0; i < m; i++)
         if (src[i] < 0 || src[i] >= n || dst[i] < 0 || dst[i] >= n) return -1;
@@ -312,6 +312,10 @@ int64_t gtio_sort_edges(int64_t m, int64_t n, int32_t *src, int32_t *dst,
         k++;
     }
     return k;
+} catch (...) {
+    // bad_alloc etc. must not cross the C ABI (std::terminate); -5 maps
+    // to the numpy fallback on the Python side
+    return -5;
 }
 
 // ---------------------------------------------------------------------------
@@ -333,7 +337,10 @@ int64_t gtio_sort_edges(int64_t m, int64_t n, int32_t *src, int32_t *dst,
 //      semantics of from_original_ids's pre-doubling pair check.
 //
 // Returns the deduped edge count, or -1 capacity, -2 unknown edge id,
-// -3 conflicting duplicate weights, -4 duplicate vertex id.
+// -3 conflicting duplicate weights, -4 duplicate vertex id, -5 native
+// failure (allocation — caller falls back to numpy), -6 declined
+// (a vertex id equals the hash sentinel INT64_MIN — caller falls back
+// to numpy, which handles any int64 id).
 
 namespace {
 
@@ -350,8 +357,10 @@ int64_t gtio_relabel_edges(int64_t n, const int64_t *vids,
                            int64_t m, const int64_t *esrc, const int64_t *edst,
                            double *w, int32_t has_w, int32_t directed,
                            int32_t *out_src, int32_t *out_dst, double *out_w,
-                           int64_t cap) {
+                           int64_t cap) try {
     // -- 1. hash join original -> dense ------------------------------------
+    for (int64_t i = 0; i < n; i++)
+        if (vids[i] == INT64_MIN) return -6;  // sentinel collision: decline
     size_t hs = 16;
     while ((int64_t)hs < 2 * n) hs <<= 1;
     std::vector<int64_t> hkey(hs, INT64_MIN);
@@ -447,6 +456,8 @@ int64_t gtio_relabel_edges(int64_t n, const int64_t *vids,
         k++;
     }
     return k;
+} catch (...) {
+    return -5;  // bad_alloc etc.: numpy fallback, never std::terminate
 }
 
 }  // extern "C"

@@ -91,3 +91,28 @@ def test_adaptive_chain_and_unreachable():
         ref_levels, ref_it = _device_levels(g, 0)
         np.testing.assert_array_equal(levels, ref_levels)
         assert it == ref_it
+
+
+@pytest.mark.parametrize("directed", [False, True])
+def test_bfs_step_mode_switch_matches_phases(directed):
+    """bfs_step_mode="switch" (single while_loop + lax.switch body) is
+    bit-identical to the default nested-phase machinery, including the
+    per-phase step counters — the config-exposed comparison arm stays
+    correct (scripts/perf/measure_bfs_switch.py is the perf side)."""
+    from graphtpu.algorithms.bfs import bfs_adaptive_run
+    from graphtpu.utils.config import PlatformConfig
+    from graphtpu.utils.synth import rmat_graph
+
+    g = rmat_graph(9, 8, directed=directed, seed=5)
+    # small caps force multi-phase traversals (tiers + bottom-up + dense)
+    base = dict(bfs_frontier_rows=64, bfs_frontier_edges=256,
+                bfs_bu_rows=32, bfs_bu_edges=512)
+    lp, itp, sp = bfs_adaptive_run(
+        g, 0, PlatformConfig(bfs_step_mode="phases", **base), with_stats=True
+    )
+    ls, its, ss = bfs_adaptive_run(
+        g, 0, PlatformConfig(bfs_step_mode="switch", **base), with_stats=True
+    )
+    np.testing.assert_array_equal(np.asarray(lp), np.asarray(ls))
+    assert itp == its
+    assert sp == ss
