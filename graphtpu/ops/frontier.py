@@ -55,9 +55,20 @@ def mask_status(mask: jax.Array, deg: jax.Array, nnz=None):
     the bound on any masked degree sum) gates the packing: without it,
     or when the int32 RESULT contract could overflow (nnz >= 2^31 —
     the same bound the two-reduction path has always had) or rows >=
-    2^25, falls back to two reductions."""
+    2^25, falls back to two reductions. GRAPHTPU_FUSED_STATUS=0 forces
+    the two-reduction path (escape hatch: the packed reduce is int64,
+    which TPUs emulate — correct everywhere and one pass instead of
+    two, but if a measured regression ever shows up the switch flips
+    without a code change)."""
+    import os as _os
+
     n = mask.shape[0]
-    if nnz is not None and nnz < (1 << 31) and n < (1 << 25):
+    if (
+        nnz is not None
+        and nnz < (1 << 31)
+        and n < (1 << 25)
+        and _os.environ.get("GRAPHTPU_FUSED_STATUS", "1") != "0"
+    ):
         packed = jnp.sum(
             jnp.where(mask, deg.astype(jnp.int64) + (1 << 38), 0),
             dtype=jnp.int64,
