@@ -153,11 +153,15 @@ def test_platform_properties_roundtrip(tmp_path):
         "platform.graphtpu.precision = float64\n"
         "platform.graphtpu.num-devices = 4\n"
         "platform.graphtpu.cdlp-impl = sort\n"
+        "platform.graphtpu.bfs-step-mode = switch\n"
+        "platform.graphtpu.sssp-tiers = 1024,65536\n"
     )
     cfg = PlatformConfig.from_properties(p)
     assert cfg.precision == "float64"
     assert cfg.num_devices == 4
     assert cfg.cdlp_impl == "sort"
+    assert cfg.bfs_step_mode == "switch"
+    assert cfg.sssp_tiers == "1024,65536"
 
 
 def test_benchmark_properties_roundtrip():
