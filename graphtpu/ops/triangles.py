@@ -252,9 +252,22 @@ def prepare_wedge_plan(graph, cache_dir=None) -> WedgePlan:
     n = graph.n
     id_bits = max(int(max(n - 1, 1)).bit_length(), 1)
 
+    import os as _os
+    import time as _time
+
+    _trace_on = bool(_os.environ.get("GRAPHTPU_LCC_PREP_TRACE"))
+    _t = [_time.perf_counter()]
+
+    def _trace(label):
+        if _trace_on:
+            now = _time.perf_counter()
+            print(f"[lcc-prep] {label}: {now - _t[0]:.2f}s", flush=True)
+            _t[0] = now
+
     cached = _load_oriented_cache(cache_dir, graph)
     if cached is not None:
         ex, ey, mult, rank, deg_s = cached
+        _trace("oriented-cache load")
         # transfer int32 and pack on device: int64 H2D of ex/ey doubles
         # the transfer bytes for no reason (round-5 profile: 3.3 s)
         mult_d = jnp.asarray(mult.astype(np.int32))
@@ -263,6 +276,7 @@ def prepare_wedge_plan(graph, cache_dir=None) -> WedgePlan:
         packed = (ex32.astype(jnp.int64) << id_bits) | ey32.astype(
             jnp.int64
         )
+        _trace("H2D + pack")
     else:
         s, d = graph.src, graph.dst
         keep = s != d
@@ -300,18 +314,19 @@ def prepare_wedge_plan(graph, cache_dir=None) -> WedgePlan:
         ey = np.asarray(ey32).astype(np.int64)
         mult = np.asarray(mult_d).astype(np.int64)
         _save_oriented_cache(cache_dir, graph, ex, ey, mult, rank, deg_s)
+        _trace("host dedupe + device orient/sort + cache save")
 
     d_plus = np.bincount(ex, minlength=n).astype(np.int64)
     indptr_o = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(d_plus, out=indptr_o[1:])
-
-    import os as _os
+    _trace("d+ histogram")
 
     # mean slot occupancy of the membership table: 0.25 -> 1.07 GB at
     # RMAT s20/ef32; 0.5 halves the table (row-overflow P stays ~3e-7
     # per row) and may lift the issue-rate-bound probe throughput
     fill = float(_os.environ.get("GRAPHTPU_LCC_HASH_FILL", "0.25"))
     ehash, spilled = edgehash.build_edge_hash_device(packed, mult_d, fill=fill)
+    _trace("edge-hash build")
 
     # bucket rows (d+ >= 2) into padded slabs (device gathers); collect
     # every real entry's (head, transposed flat position) for the
@@ -363,6 +378,7 @@ def prepare_wedge_plan(graph, cache_dir=None) -> WedgePlan:
         m_real += int(d_plus[sel].sum())
         flat_offset += w * r_pad
         buckets.append(WedgeBucket(sel, slab_t, mslab_t, r, rc))
+    _trace("slab fills")
 
     edge_pos = head_perm = head_indptr = None
     if heads_parts:
@@ -377,6 +393,7 @@ def prepare_wedge_plan(graph, cache_dir=None) -> WedgePlan:
             np.bincount(ey[d_plus[ex] > 1], minlength=n), out=hip[1:]
         )
         head_indptr = jnp.asarray(hip.astype(np.int32))
+    _trace("head sort + indptr")
 
     return WedgePlan(
         tuple(buckets), n, id_bits, deg_s, rank, ehash,
