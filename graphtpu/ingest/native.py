@@ -33,7 +33,23 @@ def _load() -> Optional[ctypes.CDLL]:
     _checked = True
     path = os.environ.get("GRAPHTPU_NATIVE_LIB", str(_lib_path()))
     if not Path(path).exists():
-        return None
+        # build-on-first-use for fresh checkouts (the .so is not
+        # committed): one `make -C native` (~2 s, g++ baked in). Mirrors
+        # the reference's compile-benchmark step (compile-benchmark.sh)
+        # happening lazily; set GRAPHTPU_NATIVE_LIB=/dev/null to forbid.
+        src = _lib_path().parent / "graphtpu_io.cpp"
+        if path == str(_lib_path()) and src.exists():
+            import subprocess
+
+            try:
+                subprocess.run(
+                    ["make", "-C", str(_lib_path().parent)],
+                    capture_output=True, timeout=120, check=True,
+                )
+            except Exception:  # noqa: BLE001 — fall back to numpy path
+                return None
+        if not Path(path).exists():
+            return None
     lib = ctypes.CDLL(path)
     lib.gtio_count_lines.restype = ctypes.c_int64
     lib.gtio_count_lines.argtypes = [ctypes.c_char_p]
